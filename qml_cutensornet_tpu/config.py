@@ -1,0 +1,91 @@
+"""Simulation configuration.
+
+The reference exposes two truncation knobs for its two backends:
+
+- GPU (pytket-cutensornet): ``Config(truncation_fidelity=1-eps)`` — keep the
+  smallest leading set of singular values whose squared weight is at least a
+  ``1-eps`` fraction of the total (gpu_backend/kernel_state_ansatz.py:141-144).
+- CPU (ITensors.jl): ``apply(gates, mps; cutoff=eps)`` — discard the smallest
+  trailing set of squared singular values whose relative weight is at most
+  ``eps`` (KernelPkg/src/KernelPkg.jl:68).
+
+Both rules coincide: discard the largest trailing set of squared singular
+values summing to at most ``eps`` of the total. We implement that rule once
+and accept either criterion name, plus a hard bond-dimension cap ``chi``
+(needed on TPU where shapes must be static) and cuTensorNet's
+``value_of_zero`` absolute floor (main_track_mem.py:168-172).
+
+All arithmetic is REAL (re, im)-pair arithmetic (see ops/cpx.py): the TPU
+backend has no complex dtype support, and the explicit lowering is also the
+MXU-friendly layout. ``precision`` selects the underlying real dtype.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+_REAL_DTYPES = {"f32": jnp.float32, "f64": jnp.float64}
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static configuration for the MPS engine.
+
+    Attributes:
+        chi: hard cap on the virtual bond dimension. All MPS tensors are
+            padded to ``[chi, 2, chi]`` so every shape in the compiled
+            program is static. Truncated entries are exactly zeroed so
+            padding never leaks into contractions.
+        truncation_error: relative discarded squared-singular-value weight
+            allowed per two-site gate (the reference's ``eps``; both its
+            backends use 1e-16, main.py:73).
+        criterion: "fidelity" (cuTensorNet convention) or "cutoff"
+            (ITensors convention). Mathematically identical here; kept for
+            API parity with the two reference backends.
+        value_of_zero: absolute floor below which singular values are
+            treated as exact zeros (cuTensorNet ``value_of_zero``).
+        precision: "f32" or "f64" — the real dtype underlying the (re, im)
+            pair representation. "f64" requires ``jax_enable_x64`` and is
+            the parity-test mode; "f32" is the TPU production mode.
+        svd_method: "svd" decomposes the real embedding [[Re,-Im],[Im,Re]]
+            of theta with ``jnp.linalg.svd`` (accurate; every real singular
+            triple lifts exactly to a complex one). "eigh" eigendecomposes
+            the real embedding of theta^H theta (matmul-heavy QDWH-eig on
+            TPU; squares the condition number — fine for truncation).
+        renormalize: if True, rescale the state to unit norm after each
+            truncation. The reference backends leave the state unnormalized
+            and track the accumulated fidelity instead; we do the same by
+            default.
+    """
+
+    chi: int = 64
+    truncation_error: float = 1e-16
+    criterion: str = "fidelity"
+    value_of_zero: float = 0.0
+    precision: str = "f32"
+    svd_method: str = "svd"
+    renormalize: bool = False
+    # MXU accumulation precision for f32 data. TPUs default to bfloat16
+    # matmul passes for f32 inputs, which injects ~1e-2 relative error into
+    # deep circuits — far outside the 1e-6 parity budget. "highest" forces
+    # full f32 accumulation (6-pass bf16); "float32" is the cheaper 3-pass
+    # variant; "bfloat16" is fastest and only fit for exploratory runs.
+    matmul_precision: str = "highest"
+
+    def __post_init__(self):
+        if self.criterion not in ("fidelity", "cutoff"):
+            raise ValueError(f"Unknown truncation criterion: {self.criterion}")
+        if self.svd_method not in ("svd", "eigh"):
+            raise ValueError(f"Unknown svd_method: {self.svd_method}")
+        if self.precision not in _REAL_DTYPES:
+            raise ValueError(f"Unknown precision: {self.precision}")
+        if self.matmul_precision not in ("highest", "float32", "bfloat16", "default"):
+            raise ValueError(f"Unknown matmul_precision: {self.matmul_precision}")
+        if self.chi < 1:
+            raise ValueError("chi must be >= 1")
+
+    @property
+    def real_dtype(self):
+        return _REAL_DTYPES[self.precision]

@@ -1,0 +1,255 @@
+"""The kernel-state ansatz and its compilation to a static canonical op stream.
+
+Reference semantics (gpu_backend/kernel_state_ansatz.py:24-103,
+cpu_backend/kernel_state_ansatz.py:28-131): the feature-map circuit
+``U(x)|0..0>`` is
+
+    [H on all qubits]                                   (hadamard_init)
+    repeat ``reps`` times:
+        Rz(angle = gamma * x_i) on every qubit i        (pytket exponent (2/pi)*gamma*x_i)
+        XXPhase(angle = (pi/2)*gamma^2*(1-x_i)*(1-x_j)) (pytket exponent gamma^2*(1-x_i)(1-x_j))
+            for every (i, j) in the entanglement map
+
+followed by SWAP routing so every two-qubit gate acts on adjacent sites, as
+an MPS simulator requires (gpu:68-90).
+
+TPU-first design: the circuit STRUCTURE is identical for every datapoint —
+only the angles differ, and they are closed-form functions of the features.
+So instead of binding symbols per datapoint (reference: sympy
+``symbol_substitution`` per point, gpu:93-103), we compile the ansatz ONCE
+into a :class:`GateSchedule` — flat integer arrays (site, gate kind,
+canonical-center direction, feature indices) — and compute all angles inside
+the compiled program. The whole batch of datapoint circuits then evolves in
+a single XLA program (``vmap`` over datapoints, ``lax.scan`` over the
+schedule).
+
+Canonical-form lowering: every two-site update leaves the orthogonality
+center on one side of the gate. The compiler tracks the center through the
+stream, inserts identity-gate center moves when the next gate is not
+adjacent, and chooses each update's placement direction by looking ahead.
+Keeping the state mixed-canonical makes every local truncation globally
+optimal — required both for quality under tight chi caps and for float32
+numerical health (non-canonical environments amplify roundoff into real
+truncation error).
+
+Two routing modes:
+
+- ``"reference"``: the reference's gate order and router — for each
+  non-adjacent XXPhase, a SWAP chain in, the gate, and the SWAP chain back
+  (gpu:68-90).
+- ``"tracked"`` (default): permutation-tracked routing. The swap-back chains
+  are dropped and the engine keeps a live map from features to sites; gates
+  within a layer (all XXPhase terms commute) are reordered into a
+  position-sorted sweep to minimize both SWAP count and center movement.
+  Valid because every datapoint's circuit undergoes the SAME final site
+  permutation, and MPS-MPS overlaps are invariant under a common relabeling
+  of sites — the Gram matrix is unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Gate kinds in the lowered op stream.
+GATE_I = 0  # identity two-site op (canonical-center move)
+GATE_SWAP = 1
+GATE_XX = 2
+
+# Placement of the orthogonality center after a two-site update.
+DIR_R = 0  # center ends at site+1
+DIR_L = 1  # center ends at site
+
+
+@dataclasses.dataclass
+class RepSegment:
+    """One repetition of the ansatz, lowered to adjacent-site operations.
+
+    ``pos_to_feature[p]`` gives the feature index whose qubit sits at site
+    ``p`` when this segment starts (identity in "reference" routing).
+    """
+
+    pos_to_feature: np.ndarray  # [n] int32
+    sites: np.ndarray  # [g] int32 — left site of each 2-site op
+    gkinds: np.ndarray  # [g] int32 — GATE_*
+    dirs: np.ndarray  # [g] int32 — DIR_*
+    fa: np.ndarray  # [g] int32 — feature index for the XX angle (0 otherwise)
+    fb: np.ndarray  # [g] int32
+
+
+@dataclasses.dataclass
+class GateSchedule:
+    num_qubits: int
+    reps: int
+    gamma: float
+    hadamard_init: bool
+    segments: list[RepSegment]
+    final_pos: np.ndarray  # [n] int32 — site where original qubit q ends up
+    routing: str
+
+    @property
+    def num_two_site_ops(self) -> int:
+        return sum(len(s.sites) for s in self.segments)
+
+    @property
+    def num_gate_ops(self) -> int:
+        return int(sum(np.sum(s.gkinds != GATE_I) for s in self.segments))
+
+
+def _raw_reference(num_qubits, reps, entanglement_map):
+    """Reference SWAP routing (gpu:68-90): chain in, gate, chain back.
+    Yields one identical raw gate stream per rep."""
+    stream = []
+    for (a, b) in entanglement_map:
+        q0, q1 = min(a, b), max(a, b)
+        for q in range(q0, q1 - 1):
+            stream.append((q, GATE_SWAP, 0, 0))
+        stream.append((q1 - 1, GATE_XX, a, b))
+        for q in reversed(range(q0, q1 - 1)):
+            stream.append((q, GATE_SWAP, 0, 0))
+    pos_maps = [np.arange(num_qubits, dtype=np.int32)] * reps
+    return [stream] * reps, pos_maps, np.arange(num_qubits, dtype=np.int32)
+
+
+def _raw_tracked(num_qubits, reps, entanglement_map):
+    """Permutation-tracked routing: move one qubit adjacent to the other and
+    leave it there. Within each rep, gates are processed in a position-sorted
+    sweep (valid: all XXPhase terms commute)."""
+    n = num_qubits
+    pos = np.arange(n, dtype=np.int64)  # pos[q] = current site of qubit q
+    at = np.arange(n, dtype=np.int64)  # at[p] = qubit currently at site p
+    streams, pos_maps = [], []
+    for _ in range(reps):
+        pos_maps.append(at.astype(np.int32).copy())
+        stream = []
+        # Sweep order: sort pairs by the leftmost current position.
+        order = sorted(entanglement_map, key=lambda ab: min(pos[ab[0]], pos[ab[1]]))
+        for (a, b) in order:
+            pa, pb = int(pos[a]), int(pos[b])
+            lo, hi = (pa, pb) if pa < pb else (pb, pa)
+            # Move the qubit at `lo` rightwards until adjacent to `hi`.
+            for p in range(lo, hi - 1):
+                stream.append((p, GATE_SWAP, 0, 0))
+                qa, qb = at[p], at[p + 1]
+                at[p], at[p + 1] = qb, qa
+                pos[qa], pos[qb] = p + 1, p
+            stream.append((hi - 1, GATE_XX, a, b))
+        streams.append(stream)
+    return streams, pos_maps, pos.astype(np.int32)
+
+
+def _canonical_lower(streams, pos_maps, num_qubits):
+    """Insert canonical-center moves (identity two-site ops) and choose each
+    update's placement direction by one-gate lookahead. The center starts
+    undefined (product states are canonical everywhere) and persists across
+    segments (1-qubit layers preserve isometries)."""
+    center = None
+    segments = []
+    for stream, pos_map in zip(streams, pos_maps):
+        ops = []
+        for idx, (s, gk, fa, fb) in enumerate(stream):
+            if center is None:
+                center = s
+            while center < s:
+                ops.append((center, GATE_I, DIR_R, 0, 0))
+                center += 1
+            while center > s + 1:
+                ops.append((center - 1, GATE_I, DIR_L, 0, 0))
+                center -= 1
+            nxt = stream[idx + 1][0] if idx + 1 < len(stream) else s
+            d = DIR_L if nxt < s else DIR_R
+            ops.append((s, gk, d, fa, fb))
+            center = s if d == DIR_L else s + 1
+        arr = np.asarray(ops, dtype=np.int32).reshape(-1, 5)
+        segments.append(
+            RepSegment(
+                pos_to_feature=np.asarray(pos_map, dtype=np.int32),
+                sites=arr[:, 0].copy(),
+                gkinds=arr[:, 1].copy(),
+                dirs=arr[:, 2].copy(),
+                fa=arr[:, 3].copy(),
+                fb=arr[:, 4].copy(),
+            )
+        )
+    return segments
+
+
+def build_schedule(
+    num_qubits: int,
+    reps: int,
+    gamma: float,
+    entanglement_map: list[tuple[int, int]],
+    hadamard_init: bool = True,
+    routing: str = "tracked",
+) -> GateSchedule:
+    if routing == "reference":
+        streams, pos_maps, final_pos = _raw_reference(num_qubits, reps, entanglement_map)
+    elif routing == "tracked":
+        streams, pos_maps, final_pos = _raw_tracked(num_qubits, reps, entanglement_map)
+    else:
+        raise ValueError(f"Unknown routing mode: {routing}")
+    segments = _canonical_lower(streams, pos_maps, num_qubits)
+    return GateSchedule(
+        num_qubits=num_qubits,
+        reps=reps,
+        gamma=float(gamma),
+        hadamard_init=hadamard_init,
+        segments=segments,
+        final_pos=final_pos,
+        routing=routing,
+    )
+
+
+class KernelStateAnsatz:
+    """API-parity ansatz class (reference: gpu:16-103, cpu:20-131).
+
+    Stores the compiled :class:`GateSchedule` instead of a symbolic pytket
+    circuit. ``circuit_for_data`` reproduces the reference CPU backend's
+    lowered gate-list format ``[(name, qubits, params), ...]`` in pytket
+    half-turn exponents (cpu:96-131) — useful for debugging and golden
+    cross-checks, but the engine itself never materializes per-datapoint
+    circuits.
+    """
+
+    def __init__(
+        self,
+        num_qubits: int,
+        reps: int,
+        gamma: float,
+        entanglement_map: list[tuple[int, int]],
+        hadamard_init: bool = True,
+        routing: str = "tracked",
+    ):
+        self.num_qubits = num_qubits
+        self.reps = reps
+        self.gamma = gamma
+        self.entanglement_map = [(int(a), int(b)) for (a, b) in entanglement_map]
+        self.hadamard_init = hadamard_init
+        self.schedule = build_schedule(
+            num_qubits, reps, gamma, self.entanglement_map, hadamard_init, routing
+        )
+
+    def circuit_for_data(self, feature_values):
+        """Lowered gate list with bound parameters, in the reference CPU
+        backend's tuple format and half-turn convention (cpu:96-131),
+        using the REFERENCE routing regardless of the engine's mode."""
+        x = np.asarray(feature_values, dtype=np.float64)
+        if len(x) != self.num_qubits:
+            raise RuntimeError("The number of values must match the number of symbols.")
+        gates: list[tuple[str, list[int], list[float]]] = []
+        if self.hadamard_init:
+            for q in range(self.num_qubits):
+                gates.append(("H", [q], []))
+        for _ in range(self.reps):
+            for q in range(self.num_qubits):
+                gates.append(("Rz", [q], [float((2 / np.pi) * self.gamma * x[q])]))
+            for (a, b) in self.entanglement_map:
+                q0, q1 = min(a, b), max(a, b)
+                exponent = float(self.gamma**2 * (1 - x[a]) * (1 - x[b]))
+                for q in range(q0, q1 - 1):
+                    gates.append(("SWAP", [q, q + 1], []))
+                gates.append(("XXPhase", [q1 - 1, q1], [exponent]))
+                for q in reversed(range(q0, q1 - 1)):
+                    gates.append(("SWAP", [q, q + 1], []))
+        return gates

@@ -1,0 +1,250 @@
+"""Gram (kernel) matrix construction.
+
+Reference behavior being reproduced (gpu_backend/kernel_state_ansatz.py:106-452,
+cpu_backend/kernel_state_ansatz.py:134-328):
+
+- ``build_kernel_matrix(ansatz, X, Y=None, ...) -> np.ndarray[lenY, lenX]``
+  with ``K[i, j] = |<psi(Y_i)|psi(X_j)>|^2``.
+- Requires ``len(Y) <= len(X)`` (gpu:136-137).
+- ``Y=None`` means ``Y == X``; symmetry is exploited (compute the lower
+  block-triangle, mirror the rest — reference gpu:389-400, cpu:270-274).
+- A profiling dict with the reference's key schema is written to
+  ``{info_file}.json`` (gpu:157-450) so downstream ``to_csv.py``-style
+  analysis keeps working.
+- Optional per-tile checkpoint/resume (reference CPU backend, cpu:212-282).
+
+TPU-first differences: circuits are not materialized per datapoint — the
+batch is simulated in one compiled program per chunk, and kernel tiles are
+batched transfer-matrix contractions (models/simulate.py). When a
+``jax.sharding.Mesh`` is supplied, work is distributed over the mesh via
+``shard_map`` + ``ppermute`` (parallel/gram.py) instead of MPI ranks.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from statistics import mean, median
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+from qml_cutensornet_tpu.models.simulate import make_batched_simulator, tile_overlaps_sq
+from qml_cutensornet_tpu.ops import cpx
+from qml_cutensornet_tpu.ops.cpx import Cpx
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    n = arr.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return arr
+    pad = np.repeat(arr[:1], target - n, axis=0)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: int):
+    """Simulate all datapoint circuits, ``sim_batch`` at a time, in one
+    compiled XLA program per chunk. Returns (tensors [N, n, chi, 2, chi],
+    fidelities [N], max_chis [N], per_batch_times list)."""
+    n_pts = features.shape[0]
+    padded = _pad_rows(np.asarray(features, dtype=np.float64), sim_batch)
+    sim = make_batched_simulator(schedule, cfg)
+    tensors, fids, chis, batch_times = [], [], [], []
+    for start in range(0, padded.shape[0], sim_batch):
+        chunk = jnp.asarray(padded[start : start + sim_batch], dtype=cfg.real_dtype)
+        t0 = time.perf_counter()
+        out = sim(chunk)
+        out = jax.block_until_ready(out)
+        batch_times.append(time.perf_counter() - t0)
+        tensors.append(out.tensors)
+        fids.append(np.asarray(out.fidelity))
+        chis.append(np.asarray(jnp.max(out.bond_dims, axis=-1)))
+    tensors = Cpx(
+        jnp.concatenate([t.re for t in tensors], axis=0)[:n_pts],
+        jnp.concatenate([t.im for t in tensors], axis=0)[:n_pts],
+    )
+    fids = np.concatenate(fids)[:n_pts]
+    chis = np.concatenate(chis)[:n_pts]
+    return tensors, fids, chis, batch_times
+
+
+def _tile_ranges(n: int, tile: int):
+    return [(s, min(n, s + tile)) for s in range(0, n, tile)]
+
+
+def build_kernel_matrix(
+    ansatz: KernelStateAnsatz,
+    X,
+    Y=None,
+    info_file=None,
+    truncation_error=None,
+    loglevel: int = 30,
+    cfg: SimConfig | None = None,
+    sim_batch: int = 32,
+    tile: int = 32,
+    mesh=None,
+    checkpoint: bool = False,
+    checkpoint_dir: str = "tmp",
+) -> np.ndarray:
+    """Compute ``K[i, j] = |<psi(Y_i)|psi(X_j)>|^2`` for all pairs.
+
+    Args mirror the reference engines; ``cfg`` carries the TPU-specific
+    knobs (bond cap chi, dtype, svd method). If ``cfg`` is None it is
+    built from ``truncation_error`` with defaults.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with one axis — distributes the
+    build across devices (see parallel/gram.py).
+    """
+    from qml_cutensornet_tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
+    X = np.asarray(X, dtype=np.float64)
+    if Y is not None and len(X) < len(np.asarray(Y)):
+        # Same contract as the reference (gpu:136-137).
+        raise ValueError(
+            "X must not be smaller than Y. Swap input order and transpose output."
+        )
+    if cfg is None:
+        if truncation_error is None:
+            raise ValueError("You must specify a truncation error.")
+        cfg = SimConfig(truncation_error=truncation_error)
+    verbose = loglevel <= 20
+
+    if mesh is not None:
+        from qml_cutensornet_tpu.parallel.gram import build_kernel_matrix_sharded
+
+        return build_kernel_matrix_sharded(
+            ansatz, X, Y, info_file=info_file, cfg=cfg, mesh=mesh, loglevel=loglevel
+        )
+
+    schedule = ansatz.schedule
+    len_x = len(X)
+    len_y = len_x if Y is None else len(np.asarray(Y))
+
+    profiling: dict = {}
+    profiling["n_procs"] = [len(jax.devices()), "devices"]
+    profiling["lenX"] = [len_x, "entries"]
+    profiling["lenY"] = [None if Y is None else len_y, "entries"]
+    start_time = time.perf_counter()
+
+    # --- Simulate all MPS (the reference's "circuit generation" collapses
+    # into schedule compilation, done once in the KernelStateAnsatz ctor). ---
+    profiling["r0_circ_gen"] = [0.0, "seconds"]
+    ax, fid_x, chi_x, times_x = simulate_dataset(schedule, X, cfg, sim_batch)
+    if Y is not None:
+        ay, fid_y, chi_y, times_y = simulate_dataset(
+            schedule, np.asarray(Y, dtype=np.float64), cfg, sim_batch
+        )
+    else:
+        ay, fid_y, chi_y, times_y = ax, fid_x, chi_x, []
+
+    sim_times = times_x + times_y
+    # Per-circuit estimates: batched execution means we only observe
+    # per-batch wall-clock; report per-circuit averages within each batch.
+    n_batches_pts = [min(sim_batch, len_x)] * len(times_x) + [
+        min(sim_batch, len_y)
+    ] * len(times_y)
+    per_circ = [t / p for t, p in zip(sim_times, n_batches_pts) for _ in range(p)]
+    profiling["r0_circ_sim"] = [sum(sim_times), "seconds"]
+    profiling["avg_circ_sim"] = [mean(per_circ), "seconds"]
+    profiling["median_circ_sim"] = [median(per_circ), "seconds"]
+    profiling["q1_circ_sim"] = [float(np.percentile(per_circ, 25)), "seconds"]
+    profiling["q3_circ_sim"] = [float(np.percentile(per_circ, 75)), "seconds"]
+
+    itemsize = 2 * jnp.zeros((), cfg.real_dtype).itemsize  # (re, im) pair
+    bytes_per_mps = _actual_mps_bytes(chi_x, schedule.num_qubits, itemsize, cfg.chi)
+    total_mem = (bytes_per_mps * (len_x + len_y)) / (1024**2)
+    profiling["gpu_mps_mem"] = [float(total_mem), "MiB"]
+    profiling["avg_mps_mem"] = [float(total_mem / (len_x + len_y)), "MiB"]
+    all_fids = np.concatenate([fid_x, fid_y]) if Y is not None else fid_x
+    profiling["avg_fidelity"] = [float(np.mean(all_fids)), ""]
+    profiling["ave max chi x"] = (float(np.mean(chi_x)), "chi x")
+    profiling["ave max chi y"] = (float(np.mean(chi_y)), "chi y")
+    profiling["r_nonRR_recv"] = [0.0, "seconds"]
+    profiling["r0_RR_recv"] = [0.0, "seconds"]
+
+    if verbose:
+        print(f"Simulated {len_x + (len_y if Y is not None else 0)} MPS "
+              f"in {sum(sim_times):.3f}s (avg chi {np.mean(chi_x):.1f}).")
+
+    # --- Kernel tiles. ---
+    tiling_start = time.perf_counter()
+    kernel_mat = np.zeros((len_y, len_x))
+
+    ckpt_file = None
+    if checkpoint and info_file is not None:
+        pathlib.Path(checkpoint_dir).mkdir(exist_ok=True)
+        ckpt_file = pathlib.Path(checkpoint_dir) / f"checkpoint_{pathlib.Path(info_file).name}.npy"
+        if ckpt_file.is_file():
+            kernel_mat = np.load(ckpt_file)
+            if verbose:
+                print("Recovered from checkpoint!")
+
+    vdot_time = []
+    y_ranges = _tile_ranges(len_y, tile)
+    x_ranges = _tile_ranges(len_x, tile)
+    symmetric = Y is None
+    for (y0, y1) in y_ranges:
+        for (x0, x1) in x_ranges:
+            if symmetric and x0 > y0:
+                continue  # upper block-triangle comes from the mirror
+            if ckpt_file is not None and kernel_mat[y0, x0] != 0:
+                continue  # tile already in the checkpoint (cpu:251-253)
+            t0 = time.perf_counter()
+            block = tile_overlaps_sq(
+                cpx.tmap(lambda t: t[y0:y1], ay),
+                cpx.tmap(lambda t: t[x0:x1], ax),
+                precision=cfg.matmul_precision,
+            )
+            block = np.asarray(jax.block_until_ready(block))
+            vdot_time.append(time.perf_counter() - t0)
+            kernel_mat[y0:y1, x0:x1] = block
+            if symmetric and x0 < y0:
+                kernel_mat[x0:x1, y0:y1] = block.T
+            if ckpt_file is not None:
+                ckpt_file.unlink(missing_ok=True)
+                np.save(ckpt_file, kernel_mat)
+
+    if ckpt_file is not None:
+        ckpt_file.unlink(missing_ok=True)
+
+    tiling_duration = time.perf_counter() - tiling_start
+    total_duration = time.perf_counter() - start_time
+    n_pairs = sum(
+        (y1 - y0) * (x1 - x0)
+        for (y0, y1) in y_ranges
+        for (x0, x1) in x_ranges
+        if not (symmetric and x0 > y0)
+    )
+    per_vdot = [t / max(1, n_pairs // max(1, len(vdot_time))) for t in vdot_time]
+    profiling["kernel_mat_time"] = [tiling_duration, "seconds"]
+    profiling["total_time"] = [total_duration, "seconds"]
+    profiling["r0_product"] = [sum(vdot_time), "seconds"]
+    if per_vdot:
+        profiling["avg_product"] = [mean(per_vdot), "seconds"]
+        profiling["median_product"] = [median(per_vdot), "seconds"]
+        profiling["q1_product"] = [float(np.percentile(per_vdot, 25)), "seconds"]
+        profiling["q3_product"] = [float(np.percentile(per_vdot, 75)), "seconds"]
+
+    if info_file is not None:
+        with open(str(info_file) + ".json", "w") as fp:
+            json.dump(profiling, fp, indent=4)
+
+    return kernel_mat
+
+
+def _actual_mps_bytes(max_chis, n_sites, itemsize, chi_cap):
+    """Rough unpadded memory estimate per MPS: bond dims ramp up as
+    min(2^k, 2^(n-k), chi)."""
+    chi = float(np.mean(max_chis)) if len(np.atleast_1d(max_chis)) else 1.0
+    total = 0.0
+    for k in range(n_sites):
+        left = min(2.0**k, 2.0 ** (n_sites - k), chi)
+        right = min(2.0 ** (k + 1), 2.0 ** (n_sites - k - 1), chi)
+        total += left * 2 * right
+    return total * itemsize

@@ -1,0 +1,139 @@
+"""Complex arithmetic as explicit (re, im) real-array pairs.
+
+The TPU backend in this environment does not implement complex dtypes at all
+(every complex HLO fails UNIMPLEMENTED), and even where XLA supports complex
+it lowers to real ops anyway. We therefore make the lowering explicit: a
+complex tensor is a :class:`Cpx` pytree of two real arrays. This is also the
+performant layout — each complex contraction becomes four real contractions
+that tile directly onto the MXU, with no interleaved re/im strides.
+
+Conventions: 4-multiplication product (not Karatsuba) for best rounding
+behavior, since kernel-entry parity <= 1e-6 is a hard requirement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Cpx(NamedTuple):
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def dtype(self):
+        return self.re.dtype
+
+
+def from_np(arr, dtype=jnp.float32) -> Cpx:
+    """Host-side constructor from a numpy (possibly complex) array."""
+    arr = np.asarray(arr)
+    return Cpx(
+        jnp.asarray(np.real(arr), dtype=dtype), jnp.asarray(np.imag(arr), dtype=dtype)
+    )
+
+
+def to_np(x: Cpx) -> np.ndarray:
+    """Host-side: materialize as a numpy complex array."""
+    return np.asarray(x.re) + 1j * np.asarray(x.im)
+
+
+def zeros(shape, dtype=jnp.float32) -> Cpx:
+    return Cpx(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def conj(x: Cpx) -> Cpx:
+    return Cpx(x.re, -x.im)
+
+
+def add(x: Cpx, y: Cpx) -> Cpx:
+    return Cpx(x.re + y.re, x.im + y.im)
+
+
+def sub(x: Cpx, y: Cpx) -> Cpx:
+    return Cpx(x.re - y.re, x.im - y.im)
+
+
+def mul(x: Cpx, y: Cpx) -> Cpx:
+    """Elementwise complex multiply (broadcasting)."""
+    return Cpx(x.re * y.re - x.im * y.im, x.re * y.im + x.im * y.re)
+
+
+def scale(x: Cpx, s) -> Cpx:
+    """Multiply by a REAL scalar/array (broadcasting)."""
+    return Cpx(x.re * s, x.im * s)
+
+
+def abs2(x: Cpx):
+    return x.re * x.re + x.im * x.im
+
+
+def expi(theta, dtype=None) -> Cpx:
+    """e^{i theta} for real theta."""
+    re = jnp.cos(theta)
+    im = jnp.sin(theta)
+    if dtype is not None:
+        re, im = re.astype(dtype), im.astype(dtype)
+    return Cpx(re, im)
+
+
+def einsum(spec: str, x: Cpx, y: Cpx) -> Cpx:
+    """Complex einsum via four real einsums."""
+    rr = jnp.einsum(spec, x.re, y.re)
+    ii = jnp.einsum(spec, x.im, y.im)
+    ri = jnp.einsum(spec, x.re, y.im)
+    ir = jnp.einsum(spec, x.im, y.re)
+    return Cpx(rr - ii, ri + ir)
+
+
+def einsum_rc(spec: str, x_real, y: Cpx) -> Cpx:
+    """einsum of a REAL tensor with a complex one."""
+    return Cpx(jnp.einsum(spec, x_real, y.re), jnp.einsum(spec, x_real, y.im))
+
+
+def matmul(x: Cpx, y: Cpx) -> Cpx:
+    rr = x.re @ y.re
+    ii = x.im @ y.im
+    ri = x.re @ y.im
+    ir = x.im @ y.re
+    return Cpx(rr - ii, ri + ir)
+
+
+def embed(m: Cpx) -> jnp.ndarray:
+    """Real embedding E(M) = [[Re, -Im], [Im, Re]] of a complex matrix.
+
+    E is a ring homomorphism: E(AB) = E(A)E(B), E(A^H) = E(A)^T, and E
+    commutes with J = [[0, -I], [I, 0]] (multiplication by i). Consequently
+    the real SVD of E(M) has every singular value of M twice, and every real
+    singular triple (u, s, v) of E(M) maps EXACTLY to a complex triple
+    (lift(u), s, lift(v)) of M — the basis of our complex-free SVD.
+    """
+    top = jnp.concatenate([m.re, -m.im], axis=-1)
+    bot = jnp.concatenate([m.im, m.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def lift(cols: jnp.ndarray) -> Cpx:
+    """Inverse of the vector embedding: real [2k, ...] -> complex [k, ...]
+    with x = top + i*bottom."""
+    k = cols.shape[0] // 2
+    return Cpx(cols[:k], cols[k:])
+
+
+def stack(xs: list[Cpx], axis=0) -> Cpx:
+    return Cpx(
+        jnp.stack([x.re for x in xs], axis=axis),
+        jnp.stack([x.im for x in xs], axis=axis),
+    )
+
+
+def tmap(fn, x: Cpx) -> Cpx:
+    """Apply the same shape/indexing transform to both parts."""
+    return Cpx(fn(x.re), fn(x.im))

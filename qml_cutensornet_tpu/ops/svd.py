@@ -1,0 +1,176 @@
+"""Truncated SVD of complex matrices using only REAL linear algebra.
+
+The per-two-site-gate truncated SVD is the numerical heart of the MPS engine
+(reference: cuTensorNet's internal SVD under ``Config(truncation_fidelity=...)``,
+used at gpu_backend/kernel_state_ansatz.py:141-144, and ITensors' ``apply``
+cutoff at KernelPkg/src/KernelPkg.jl:68).
+
+TPU constraints shape the design:
+
+- The TPU backend has no complex dtypes, so we decompose the real embedding
+  ``E(M) = [[Re, -Im], [Im, Re]]``. ``E`` commutes with multiplication by i
+  (``J = [[0,-I],[I,0]]``), so every singular value of M appears TWICE in
+  ``E(M)``, and every real singular triple ``E(M) v = s u`` lifts EXACTLY to
+  a complex relation ``M lift(v) = s lift(u)``.
+
+- Lifted vectors from one doubled pair span the SAME complex direction, and
+  within numerically coincident clusters the real basis is arbitrary, so a
+  fixed "every other column" selection is wrong (it fails on exactly
+  degenerate Schmidt spectra, which these circuits do produce — e.g. Bell
+  pairs). Instead we select an orthonormal COMPLEX basis of the kept left
+  singular subspace by a greedy Gram–Schmidt scan over the lifted candidates
+  (descending singular value order). Any orthonormal basis of that subspace
+  is equally valid: the right factor is recovered as ``Q^H theta``, making
+  ``Q Q^H theta`` the optimal rank-``keep`` truncation without ever pairing
+  left to right vectors.
+
+- XLA requires static shapes, so truncation is a MASK over the selected
+  columns: discarded ones are zeroed exactly. Zeroing matters — nonzero
+  junk in dead columns would contract against stale padding in neighboring
+  site tensors and corrupt later gates.
+
+- ``svd_method="svd"`` runs ``jnp.linalg.svd`` on ``E(theta)``;
+  ``svd_method="eigh"`` eigendecomposes ``E(theta) E(theta)^T`` (QDWH-eig on
+  TPU is matmul-heavy/MXU-friendly but squares the condition number; fine
+  for truncation decisions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.ops import cpx
+from qml_cutensornet_tpu.ops.cpx import Cpx
+
+# A candidate direction is accepted if, after projecting out the directions
+# already selected, at least this much of its (unit) norm-squared remains.
+# Duplicated directions inside a degenerate cluster project to ~0; genuinely
+# new directions retain O(1). Values in between only arise inside degenerate
+# clusters, where any basis of the cluster subspace is equally correct.
+_ACCEPT_TOL = 1e-4
+
+
+def _truncation_mask(s, tail, total, cfg: SimConfig, keep: int):
+    """Mask over the descending selected singular values ``s``.
+
+    ``tail[i]`` is the trailing squared weight of the complex spectrum from
+    rank ``i`` on, precomputed cancellation-free from the full descending
+    real spectrum (eps=1e-16 sits BELOW f64 rounding, so any
+    total-minus-cumsum formulation would put the comparison inside
+    floating-point noise). ``total`` is the full squared weight.
+
+    Keep index ``i`` iff (a) ``i < keep`` (bond cap), (b) above the
+    ``value_of_zero`` floor, and (c) ``tail[i] > eps * total``. This is
+    simultaneously cuTensorNet's ``truncation_fidelity = 1-eps`` rule and
+    ITensors' relative ``cutoff = eps`` rule.
+    """
+    idx = jnp.arange(s.shape[0])
+    mask = (idx < keep) & (tail[: s.shape[0]] > cfg.truncation_error * total)
+    if cfg.value_of_zero > 0.0:
+        mask = mask & (s > cfg.value_of_zero)
+    mask = mask | (idx == 0)  # never drop everything
+    kept = jnp.sum(jnp.where(mask, s * s, 0.0))
+    kept_fraction = jnp.where(total > 0, kept / jnp.where(total > 0, total, 1.0), 1.0)
+    kept_fraction = jnp.minimum(kept_fraction, 1.0)
+    return mask, kept_fraction
+
+
+def _greedy_basis(cand: Cpx, svs, keep: int):
+    """Select an orthonormal complex basis from lifted candidates.
+
+    ``cand [m, nc]`` are unit-norm complex candidates in descending
+    singular-value order (each real triple of a doubled pair appears, so
+    every complex direction is covered at least twice); ``svs [nc]`` their
+    singular values. Returns (Q [m, keep] with zero columns past the
+    selected rank, svq [keep] selected singular values).
+    """
+    m, nc = cand.re.shape
+    rdt = cand.re.dtype
+    q0 = (jnp.zeros((m, keep), rdt), jnp.zeros((m, keep), rdt))
+    carry0 = (*q0, jnp.zeros((keep,), rdt), jnp.zeros((), jnp.int32))
+
+    def step(carry, inp):
+        q_re, q_im, svq, r = carry
+        c_re, c_im, s = inp
+        q = Cpx(q_re, q_im)
+        c = Cpx(c_re, c_im)
+        coeff = cpx.einsum("ij,i->j", cpx.conj(q), c)  # [keep]
+        proj = cpx.einsum("ij,j->i", q, coeff)
+        cp = cpx.sub(c, proj)
+        nrm2 = jnp.sum(cpx.abs2(cp))
+        accept = (nrm2 > _ACCEPT_TOL) & (r < keep)
+        inv = jnp.where(nrm2 > 0, lax.rsqrt(jnp.where(nrm2 > 0, nrm2, 1.0)), 0.0)
+        cn = cpx.scale(cp, inv)
+        onehot = ((jnp.arange(keep) == r) & accept).astype(rdt)
+        q_re = q_re + cn.re[:, None] * onehot[None, :]
+        q_im = q_im + cn.im[:, None] * onehot[None, :]
+        svq = svq + s * onehot
+        r = r + accept.astype(jnp.int32)
+        return (q_re, q_im, svq, r), None
+
+    (q_re, q_im, svq, _), _ = lax.scan(
+        step, carry0, (cand.re.T, cand.im.T, svs.astype(rdt))
+    )
+    return Cpx(q_re, q_im), svq
+
+
+def _tail_weights(p_desc):
+    """Complex-spectrum trailing weights from the full descending REAL
+    embedded spectrum ``p_desc`` (each complex sv appears twice):
+    tail[i] = sum of complex p from complex rank i on = 0.5 * revcumsum
+    of the real p, sampled at even real ranks. Cancellation-free."""
+    rev = jnp.cumsum(p_desc[::-1])[::-1]
+    tail = 0.5 * rev[0::2]
+    total = 0.5 * jnp.sum(p_desc)
+    return tail, total
+
+
+def _left_vectors_svd(theta: Cpx, ncand: int):
+    e = cpx.embed(theta)  # [2m, 2k]
+    u, s, _ = jnp.linalg.svd(e, full_matrices=False)
+    tail, total = _tail_weights(s * s)
+    return cpx.lift(u[:, :ncand]), s[:ncand], tail, total
+
+
+def _left_vectors_eigh(theta: Cpx, ncand: int):
+    e = cpx.embed(theta)
+    g = e @ e.T  # [2m, 2m] real symmetric PSD
+    w, vecs = jnp.linalg.eigh(g)  # ascending
+    w = jnp.clip(w[::-1], 0.0, None)
+    vecs = vecs[:, ::-1]
+    s = jnp.sqrt(w)
+    tail, total = _tail_weights(w)
+    return cpx.lift(vecs[:, :ncand]), s[:ncand], tail, total
+
+
+@partial(jax.jit, static_argnames=("cfg", "keep"))
+def truncated_svd(theta: Cpx, cfg: SimConfig, keep: int):
+    """Factor ``theta [m, k]`` ≈ ``left [m, keep] @ right [keep, k]`` (complex
+    Cpx pairs), with ``left`` a (masked) isometry spanning the kept left
+    singular subspace and ``right = left^H theta``.
+
+    Returns (left, right, kept_fraction, rank).
+    """
+    m, k = theta.re.shape
+    ncand = min(2 * keep, 2 * min(m, k))
+    if cfg.svd_method == "eigh":
+        cand, svs, tail, total = _left_vectors_eigh(theta, ncand)
+    else:
+        cand, svs, tail, total = _left_vectors_svd(theta, ncand)
+
+    q, svq = _greedy_basis(cand, svs, keep)
+    mask, kept_fraction = _truncation_mask(svq, tail, total, cfg, keep)
+
+    mf = mask.astype(q.re.dtype)
+    left = cpx.scale(q, mf[None, :])
+    right = cpx.einsum("ij,ik->jk", cpx.conj(left), theta)  # [keep, k]
+    if cfg.renormalize:
+        inv = lax.rsqrt(jnp.where(kept_fraction > 0, kept_fraction, 1.0))
+        right = cpx.scale(right, inv.astype(right.re.dtype))
+    rank = jnp.sum((mask & (svq > 0)).astype(jnp.int32))
+    return left, right, kept_fraction, rank
