@@ -1,0 +1,190 @@
+"""Shared CLI pipeline: argv parsing, engine config, data prep, Gram builds.
+
+The reference CLI contract (README.md:72-84, main.py:79-93) is positional:
+
+    python main.py <backend> <num_features> <layers> <gamma> <distance>
+                   <n_illicit> <n_licit> <data_seed> <data_file>
+
+We preserve it exactly (BASELINE.json requires this), accepting backend
+values GPU / CPU (mapped to our engine with the matching truncation
+criterion) and the native TPU. TPU-specific knobs that have no slot in the
+positional contract come from environment variables:
+
+    QMLTPU_CHI         bond cap (default: min(2^(nq//2), 64))
+    QMLTPU_PRECISION   f32 | f64            (default f32)
+    QMLTPU_SVD         svd | eigh           (default svd)
+    QMLTPU_ROUTING     tracked | reference  (default tracked)
+    QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
+    QMLTPU_TILE        Gram tile side (default 32)
+    QMLTPU_MESH        device count for the sharded Gram build (default:
+                       all local devices when more than one)
+    QMLTPU_CHECKPOINT  1 to enable per-tile checkpoint/resume
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+from qml_cutensornet_tpu.utils.data import load_and_prepare
+from qml_cutensornet_tpu.utils.naming import run_info
+
+INPUT_ERROR_MSG = (
+    "\nCall script as 'python main.py <backend> <num_features> <layers> <gamma> "
+    "<distance> <n_illicit> <n_licit> <data_seed> <data_file>'."
+    "\nThe value of <backend> must be GPU, CPU or TPU."
+)
+
+# The truncation error assigned to the simulation (main.py:73).
+TRUNCATION_ERROR = 1e-16
+
+
+@dataclasses.dataclass
+class RunParams:
+    backend: str
+    num_features: int
+    reps: int
+    gamma: float
+    nearest_neighbors: int
+    n_illicit: int
+    n_licit: int
+    data_seed: int
+    data_file: str
+
+    @property
+    def entanglement_map(self):
+        return entanglement_graph(nq=self.num_features, nn=self.nearest_neighbors)
+
+
+def parse_argv(argv=None) -> RunParams:
+    argv = sys.argv if argv is None else argv
+    if len(argv) <= 9:
+        raise ValueError(INPUT_ERROR_MSG)
+    backend = str(argv[1])
+    if backend not in ("GPU", "CPU", "TPU"):
+        raise ValueError(INPUT_ERROR_MSG)
+    return RunParams(
+        backend=backend,
+        num_features=int(argv[2]),
+        reps=int(argv[3]),
+        gamma=float(argv[4]),
+        nearest_neighbors=int(argv[5]),
+        n_illicit=int(argv[6]),
+        n_licit=int(argv[7]),
+        data_seed=int(argv[8]),
+        data_file=str(argv[9]),
+    )
+
+
+def default_chi(num_features: int) -> int:
+    return int(min(2 ** (num_features // 2), 64))
+
+
+def sim_config(params: RunParams) -> SimConfig:
+    chi = int(os.environ.get("QMLTPU_CHI", default_chi(params.num_features)))
+    criterion = "cutoff" if params.backend == "CPU" else "fidelity"
+    return SimConfig(
+        chi=chi,
+        truncation_error=TRUNCATION_ERROR,
+        criterion=criterion,
+        precision=os.environ.get("QMLTPU_PRECISION", "f32"),
+        svd_method=os.environ.get("QMLTPU_SVD", "svd"),
+    )
+
+
+def engine_kwargs() -> dict:
+    kwargs = dict(
+        sim_batch=int(os.environ.get("QMLTPU_SIM_BATCH", 32)),
+        tile=int(os.environ.get("QMLTPU_TILE", 32)),
+        checkpoint=os.environ.get("QMLTPU_CHECKPOINT", "0") == "1",
+    )
+    mesh_size = os.environ.get("QMLTPU_MESH")
+    import jax
+
+    n_dev = len(jax.devices())
+    if mesh_size is None and n_dev > 1:
+        mesh_size = n_dev
+    if mesh_size is not None and int(mesh_size) > 1:
+        from qml_cutensornet_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(int(mesh_size))
+    return kwargs
+
+
+def make_ansatz(params: RunParams) -> KernelStateAnsatz:
+    return KernelStateAnsatz(
+        num_qubits=params.num_features,
+        reps=params.reps,
+        gamma=params.gamma,
+        entanglement_map=params.entanglement_map,
+        hadamard_init=True,
+        routing=os.environ.get("QMLTPU_ROUTING", "tracked"),
+    )
+
+
+def echo_params(params: RunParams, n_procs: int) -> None:
+    """Parameter echo in the reference's format (main.py:95-113)."""
+    print("\nUsing the following parameters:")
+    print("")
+    print(f"\tn_procs: {n_procs}")
+    print(f"\tbackend: {params.backend}")
+    print("")
+    print(f"\tnum_features: {params.num_features}")
+    print(f"\treps: {params.reps}")
+    print(f"\tgamma: {params.gamma}")
+    print(f"\tinteraction distance: {params.nearest_neighbors}")
+    print(f"\tentanglement_map: {params.entanglement_map}")
+    print("")
+    print(f"\tn_illicit: {params.n_illicit}")
+    print(f"\tn_licit: {params.n_licit}")
+    print("")
+    print(f"\tdata_seed: {params.data_seed}")
+    print(f"\tdata_file: {params.data_file}")
+    print("")
+    sys.stdout.flush()
+
+
+def prepare(params: RunParams):
+    return load_and_prepare(
+        "datasets/" + params.data_file,
+        params.num_features,
+        params.n_illicit,
+        params.n_licit,
+        params.data_seed,
+    )
+
+
+def info_names(params: RunParams):
+    args = (
+        params.num_features,
+        params.reps,
+        params.gamma,
+        params.nearest_neighbors,
+        params.n_illicit,
+        params.data_seed,
+        params.data_file,
+    )
+    return run_info("train", *args), run_info("test", *args)
+
+
+def build(params: RunParams, ansatz, X, Y=None, info_file=None):
+    pathlib.Path("kernels").mkdir(exist_ok=True)
+    pathlib.Path("data").mkdir(exist_ok=True)
+    return build_kernel_matrix(
+        ansatz,
+        X=np.asarray(X),
+        Y=None if Y is None else np.asarray(Y),
+        info_file=info_file,
+        truncation_error=TRUNCATION_ERROR,
+        cfg=sim_config(params),
+        loglevel=20,
+        **engine_kwargs(),
+    )

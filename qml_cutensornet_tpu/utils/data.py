@@ -1,0 +1,155 @@
+"""Data layer: Elliptic Bitcoin preprocessing, sampling, scaling, synthesis.
+
+Reproduces the reference's L0 exactly:
+
+- ``preprocess_elliptic``: elliptic_preproc.py:1-26, including the quirk that
+  the output CSV is written WITH the pandas index column, so after
+  ``draw_sample`` pops ``Class``, column 0 of the feature matrix is the
+  preprocessed-dataset row index — it gets quantile-transformed and used as
+  "feature 0" downstream. Exact kernel parity requires replicating this.
+- ``draw_sample``: main.py:47-66 with the exact derived seeds
+  (class-0 sample: seed*20+2, class-1: seed*46+9, split: seed*26+19).
+- ``scale_features``: the QuantileTransformer(normal) -> StandardScaler ->
+  MinMaxScaler((0,2)) chain fit on train only (main.py:130-143).
+- ``make_synthetic_elliptic``: NOT in the reference — generates a dataset
+  with the Kaggle Elliptic schema (165 features + Time/Node, classes
+  {unknown, "1" illicit, "2" licit}) and class-correlated structure, since
+  the real dataset cannot be downloaded in this environment.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+from sklearn.model_selection import train_test_split
+from sklearn.preprocessing import MinMaxScaler, QuantileTransformer, StandardScaler
+
+N_FEATURES_RAW = 165
+
+
+def preprocess_elliptic(
+    dataset_dir: str = "datasets/elliptic_bitcoin_dataset",
+    out_csv: str = "datasets/elliptic_preproc.csv",
+) -> pd.DataFrame:
+    """Port of elliptic_preproc.py:1-26: read the raw Kaggle CSVs, drop
+    'unknown' rows, remap class 1(illicit)->0 and 2(licit)->1, merge, drop
+    Node/Time, write the CSV WITH the index column (the reference quirk)."""
+    feature_labels = ["Node", "Time"] + [f"Feature {i+1}" for i in range(N_FEATURES_RAW)]
+    feature_data = pd.read_csv(f"{dataset_dir}/elliptic_txs_features.csv", names=feature_labels)
+    node_class = pd.read_csv(f"{dataset_dir}/elliptic_txs_classes.csv", names=["Node", "Class"])
+
+    # Class remap (elliptic_preproc.py:14-16): "unknown"->99, "1"(illicit)->0,
+    # "2"(licit)->1. The reference assigned ints into a string column, which
+    # pandas 3 forbids; rebuild the column with identical values instead.
+    cls = node_class["Class"].astype(str)
+    node_class["Class"] = np.where(cls == "unknown", 99, np.where(cls == "1", 0, 1))
+
+    drop_rows = np.where(node_class["Class"] == 99)[0]
+    clean_features = feature_data.drop(drop_rows)
+    clean_classes = node_class.drop(drop_rows)
+
+    merged = pd.merge(clean_classes, clean_features)
+    merged.pop("Node")
+    merged.pop("Time")
+
+    pathlib.Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
+    merged.to_csv(out_csv)  # index column intentionally kept (reference quirk)
+    return merged
+
+
+def draw_sample(df: pd.DataFrame, ndmin: int, ndmaj: int, test_frac: float = 0.2, seed: int = 123):
+    """Stratified class-balanced sampling with the reference's exact derived
+    seeds (main.py:47-66). Returns (x_train, y_train, x_test, y_test)."""
+    data_reduced = pd.concat(
+        [
+            df[df["Class"] == 0].sample(ndmin, random_state=(seed * 20 + 2)),
+            df[df["Class"] == 1].sample(ndmaj, random_state=(seed * 46 + 9)),
+        ],
+        axis=0,
+    )
+    train_df, test_df = train_test_split(
+        data_reduced,
+        stratify=data_reduced["Class"],
+        test_size=test_frac,
+        random_state=seed * 26 + 19,
+    )
+    train_labels = train_df.pop("Class")
+    test_labels = test_df.pop("Class")
+    return (
+        np.array(train_df),
+        np.array(train_labels, dtype="int"),
+        np.array(test_df),
+        np.array(test_labels, dtype="int"),
+    )
+
+
+def scale_features(x_train: np.ndarray, x_test: np.ndarray):
+    """The reference's scaler chain (main.py:130-143): quantile-normal ->
+    standardize -> min-max to (0, 2), each fit on train only."""
+    transformer = QuantileTransformer(output_distribution="normal")
+    x_train = transformer.fit_transform(x_train)
+    x_test = transformer.transform(x_test)
+
+    scaler = StandardScaler()
+    x_train = scaler.fit_transform(x_train)
+    x_test = scaler.transform(x_test)
+
+    minmax = MinMaxScaler((0, 2)).fit(x_train)
+    return minmax.transform(x_train), minmax.transform(x_test)
+
+
+def load_and_prepare(data_csv: str, num_features: int, n_illicit: int, n_licit: int, data_seed: int):
+    """The full main.py data path (main.py:126-143): read the preprocessed
+    CSV, sample, scale, truncate to the first ``num_features`` columns."""
+    data = pd.read_csv(data_csv)
+    x_train, y_train, x_test, y_test = draw_sample(data, n_illicit, n_licit, 0.2, data_seed)
+    x_train, x_test = scale_features(x_train, x_test)
+    return (
+        x_train[:, 0:num_features],
+        y_train,
+        x_test[:, 0:num_features],
+        y_test,
+    )
+
+
+def make_synthetic_elliptic(
+    dataset_dir: str = "datasets/elliptic_bitcoin_dataset",
+    n_labeled: int = 2000,
+    n_unknown: int = 500,
+    illicit_frac: float = 0.25,
+    seed: int = 0,
+) -> None:
+    """Generate raw CSVs with the Kaggle Elliptic schema for testing and
+    benchmarking (the real dataset is not redistributable and cannot be
+    fetched here). Features carry class-correlated Gaussian structure so the
+    downstream SVM has signal to find."""
+    rng = np.random.default_rng(seed)
+    n = n_labeled + n_unknown
+    node_ids = rng.choice(np.arange(10_000_000, 99_999_999), size=n, replace=False)
+    times = rng.integers(1, 50, size=n)
+
+    labels = np.full(n, "unknown", dtype=object)
+    n_illicit = int(n_labeled * illicit_frac)
+    labeled_idx = rng.permutation(n)[:n_labeled]
+    labels[labeled_idx[:n_illicit]] = "1"
+    labels[labeled_idx[n_illicit:]] = "2"
+
+    # Class-dependent means on a random low-dimensional subspace.
+    directions = rng.normal(size=(8, N_FEATURES_RAW))
+    coeff = {"1": 1.0, "2": -1.0, "unknown": 0.0}
+    feats = rng.normal(size=(n, N_FEATURES_RAW))
+    mix = rng.normal(size=(n, 8)) * 0.5
+    for i in range(n):
+        feats[i] += coeff[labels[i]] * (0.6 * directions[0] + mix[i] @ directions * 0.2)
+
+    pathlib.Path(dataset_dir).mkdir(parents=True, exist_ok=True)
+    feat_df = pd.DataFrame(
+        np.column_stack([node_ids, times, np.round(feats, 6)]),
+    )
+    feat_df[0] = feat_df[0].astype(int)
+    feat_df[1] = feat_df[1].astype(int)
+    feat_df.to_csv(f"{dataset_dir}/elliptic_txs_features.csv", header=False, index=False)
+    cls_df = pd.DataFrame({"Node": node_ids, "Class": labels})
+    cls_df.to_csv(f"{dataset_dir}/elliptic_txs_classes.csv", header=False, index=False)

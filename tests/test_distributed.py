@@ -1,0 +1,52 @@
+"""Multi-device Gram build on a virtual 8-device CPU mesh: the sharded
+ring (shard_map + ppermute) must agree with the single-device engine."""
+
+import numpy as np
+import pytest
+
+import qml_cutensornet_tpu as q
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.parallel.gram import build_kernel_matrix_sharded
+from qml_cutensornet_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(0)
+    nq, reps, nn, gamma = 5, 2, 2, 0.8
+    emap = q.entanglement_graph(nq, nn)
+    ansatz = q.KernelStateAnsatz(nq, reps, gamma, emap)
+    cfg = SimConfig(chi=4, precision="f64")
+    X = rng.uniform(0, 2, size=(19, nq))  # deliberately not divisible by 8
+    Y = rng.uniform(0, 2, size=(11, nq))
+    K_ref = q.build_kernel_matrix(ansatz, X, truncation_error=1e-16, cfg=cfg)
+    K_xy_ref = q.build_kernel_matrix(ansatz, X, Y=Y, truncation_error=1e-16, cfg=cfg)
+    return ansatz, cfg, X, Y, K_ref, K_xy_ref
+
+
+@pytest.mark.parametrize("ndev", [2, 3, 8])
+def test_symmetric_sharded_matches_single(setup, ndev):
+    ansatz, cfg, X, _, K_ref, _ = setup
+    mesh = make_mesh(ndev)
+    K = build_kernel_matrix_sharded(ansatz, X, cfg=cfg, mesh=mesh)
+    assert K.shape == K_ref.shape
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("ndev", [2, 5, 8])
+def test_rectangular_sharded_matches_single(setup, ndev):
+    ansatz, cfg, X, Y, _, K_xy_ref = setup
+    mesh = make_mesh(ndev)
+    K = build_kernel_matrix_sharded(ansatz, X, Y=Y, cfg=cfg, mesh=mesh)
+    assert K.shape == (11, 19)
+    np.testing.assert_allclose(K, K_xy_ref, atol=1e-10)
+
+
+def test_mesh_entry_point_via_build_kernel_matrix(setup):
+    ansatz, cfg, X, _, K_ref, _ = setup
+    mesh = make_mesh(4)
+    K = q.build_kernel_matrix(ansatz, X, truncation_error=1e-16, cfg=cfg, mesh=mesh)
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
