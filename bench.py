@@ -1,0 +1,108 @@
+"""North-star benchmark: N x N train-Gram build wall-clock at 32 qubits.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "seconds", "vs_baseline": ...}
+
+Config mirrors the reference's qubit_scaling family (runs/qubit_scaling:
+r=2, d=6, 10 points per run on one A100) at nq=32 with N=100 datapoints.
+
+Baseline (1x A100, from /root/repo/BASELINE.md):
+  - avg MPS simulation time per circuit at nq=30, gamma=1.0, r2 d6:
+    7.19 s (runs/qubit_scaling/results.csv); time scales ~linearly in nq
+    => ~7.67 s at nq=32.
+  - median vdot at 100q d6: 0.0138 s (runs/crossover/gpu_results.csv);
+    the symmetric Gram needs N(N+1)/2 vdots.
+  baseline_seconds = N * 7.67 + N*(N+1)/2 * 0.0138
+
+``vs_baseline`` is the speedup factor (baseline_seconds / our_seconds) for
+the same work on ONE TPU chip. Knobs: BENCH_NQ, BENCH_N, BENCH_D, BENCH_REPS,
+BENCH_GAMMA, BENCH_CHI, QMLTPU_* (see cli/_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr)
+    sys.stderr.flush()
+
+
+def main() -> None:
+    nq = int(os.environ.get("BENCH_NQ", 32))
+    n_points = int(os.environ.get("BENCH_N", 100))
+    d = int(os.environ.get("BENCH_D", 6))
+    reps = int(os.environ.get("BENCH_REPS", 2))
+    gamma = float(os.environ.get("BENCH_GAMMA", 1.0))
+    chi = int(os.environ.get("BENCH_CHI", 64))
+    sim_batch = int(os.environ.get("QMLTPU_SIM_BATCH", 50))
+    tile = int(os.environ.get("QMLTPU_TILE", 50))
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+
+    log(f"bench devices: {jax.devices()}")
+
+    # Feature data through the real pipeline shape: values in [0, 2].
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0.0, 2.0, size=(n_points, nq))
+
+    ansatz = KernelStateAnsatz(
+        nq, reps, gamma, entanglement_graph(nq, d),
+        routing=os.environ.get("QMLTPU_ROUTING", "tracked"),
+    )
+    cfg = SimConfig(
+        chi=chi,
+        precision=os.environ.get("QMLTPU_PRECISION", "f32"),
+        svd_method=os.environ.get("QMLTPU_SVD", "svd"),
+    )
+    log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
+        f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")
+
+    kwargs = dict(truncation_error=1e-16, cfg=cfg, sim_batch=sim_batch, tile=tile)
+    mesh_env = os.environ.get("QMLTPU_MESH")
+    if mesh_env and int(mesh_env) > 1:
+        from qml_cutensornet_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(int(mesh_env))
+
+    # Warm-up pass compiles every shape in the pipeline (cached persistently).
+    t0 = time.perf_counter()
+    k1 = build_kernel_matrix(ansatz, X, info_file=None, **kwargs)
+    t_cold = time.perf_counter() - t0
+    log(f"cold run (incl. compile): {t_cold:.2f}s")
+
+    t0 = time.perf_counter()
+    k2 = build_kernel_matrix(ansatz, X, info_file="/tmp/bench_profile", **kwargs)
+    t_warm = time.perf_counter() - t0
+    log(f"warm run: {t_warm:.2f}s; K sane: "
+        f"sym={np.allclose(k2, k2.T, atol=1e-4)}, "
+        f"diag_err={np.abs(np.diag(k2) - 1).max():.2e}")
+
+    # A100 baseline model (see module docstring).
+    per_circ_a100 = 7.19 * (nq / 30.0)
+    per_vdot_a100 = 0.0138
+    baseline = n_points * per_circ_a100 + n_points * (n_points + 1) / 2 * per_vdot_a100
+
+    print(json.dumps({
+        "metric": f"{n_points}x{n_points} train-Gram wall-clock, {nq} qubits (r{reps} d{d} g{gamma} chi{chi}, f32, 1 chip)",
+        "value": round(t_warm, 3),
+        "unit": "seconds",
+        "vs_baseline": round(baseline / t_warm, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

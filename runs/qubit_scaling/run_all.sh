@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Qubit-scaling sweep (reference: runs/qubit_scaling/run_all.sh — nf in
+# 30..165, gamma in {0.1, 0.5, 1.0}, r2 d6, 5+5 points, train Gram only).
+# Override the sweep with env vars for quick runs: NFS, GAMMAS, NTR.
+set -e
+ntr=${NTR:-5}
+d=${D:-6}
+r=2
+s=5
+df="elliptic_preproc.csv"
+
+mkdir -p raw/
+cd "$(dirname "$0")/../.."
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
+
+[ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic
+
+for nf in ${NFS:-30 60 90 120 150 165}; do
+for g in ${GAMMAS:-0.1 0.5 1.0}; do
+    python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
+done
+done
+
+mv train_Nf*.json runs/qubit_scaling/raw/
+rm -f train_Nf*.npy

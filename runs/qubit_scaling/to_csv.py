@@ -1,0 +1,8 @@
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from common import qubit_scaling_csv  # noqa: E402
+
+df = qubit_scaling_csv("raw/", "results.csv")
+print(df)

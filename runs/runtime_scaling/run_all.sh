@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Weak-scaling sweep of the train-Gram build (reference:
+# runs/runtime_scaling/run_all.sh — nf=165, r2, g0.1, d1; 200..3200 points
+# per class over 2..32 GPUs via Slurm). Here device counts come from
+# QMLTPU_MESH; on a single-chip host use MESHES="1" or a virtual CPU mesh
+# (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+set -e
+nf=${NF:-165}
+r=2
+g=0.1
+d=1
+s=5
+df="elliptic_preproc.csv"
+
+mkdir -p raw/
+cd "$(dirname "$0")/../.."
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
+
+[ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic 8000
+
+for mesh in ${MESHES:-1 2 4 8}; do
+    ntr=$((${NTR_BASE:-100} * mesh))
+    QMLTPU_MESH=$mesh python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
+    mv train_Nf*.json "runs/runtime_scaling/raw/mesh${mesh}_$(date +%s).json" 2>/dev/null || \
+        for j in train_Nf*.json; do mv "$j" "runs/runtime_scaling/raw/${j%.json}_m${mesh}.json"; done
+    rm -f train_Nf*.npy
+done
