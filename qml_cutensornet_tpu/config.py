@@ -67,6 +67,10 @@ class SimConfig:
     precision: str = "f32"
     svd_method: str = "svd"
     renormalize: bool = False
+    # Power iterations for svd_method="subspace" (matmul-only truncated
+    # factorization; see ops/svd.py). 2 suffices for exact-rank regimes;
+    # raise for aggressive truncation with slowly decaying spectra.
+    subspace_iters: int = 2
     # MXU accumulation precision for f32 data. TPUs default to bfloat16
     # matmul passes for f32 inputs, which injects ~1e-2 relative error into
     # deep circuits — far outside the 1e-6 parity budget. "highest" forces
@@ -77,7 +81,7 @@ class SimConfig:
     def __post_init__(self):
         if self.criterion not in ("fidelity", "cutoff"):
             raise ValueError(f"Unknown truncation criterion: {self.criterion}")
-        if self.svd_method not in ("svd", "eigh"):
+        if self.svd_method not in ("svd", "eigh", "subspace"):
             raise ValueError(f"Unknown svd_method: {self.svd_method}")
         if self.precision not in _REAL_DTYPES:
             raise ValueError(f"Unknown precision: {self.precision}")

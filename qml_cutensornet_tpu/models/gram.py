@@ -33,7 +33,7 @@ import numpy as np
 
 from qml_cutensornet_tpu.config import SimConfig
 from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
-from qml_cutensornet_tpu.models.simulate import make_batched_simulator, tile_overlaps_sq
+from qml_cutensornet_tpu.models.simulate import make_chunked_simulator, tile_overlaps_sq
 from qml_cutensornet_tpu.ops import cpx
 from qml_cutensornet_tpu.ops.cpx import Cpx
 
@@ -53,10 +53,10 @@ def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: 
     fidelities [N], max_chis [N], per_batch_times list)."""
     n_pts = features.shape[0]
     padded = _pad_rows(np.asarray(features, dtype=np.float64), sim_batch)
-    sim = make_batched_simulator(schedule, cfg)
+    sim = make_chunked_simulator(schedule, cfg)
     tensors, fids, chis, batch_times = [], [], [], []
     for start in range(0, padded.shape[0], sim_batch):
-        chunk = jnp.asarray(padded[start : start + sim_batch], dtype=cfg.real_dtype)
+        chunk = padded[start : start + sim_batch]
         t0 = time.perf_counter()
         out = sim(chunk)
         out = jax.block_until_ready(out)

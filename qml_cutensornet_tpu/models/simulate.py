@@ -12,10 +12,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.config import SimConfig
-from qml_cutensornet_tpu.models.ansatz import GATE_SWAP, GATE_XX, GateSchedule
+from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_SWAP, GATE_XX, GateSchedule
 from qml_cutensornet_tpu.ops import cpx, gates, mps as mps_ops
 from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.mps import MPS
@@ -80,7 +81,13 @@ def simulate_one(features, schedule: GateSchedule, cfg: SimConfig) -> MPS:
 
 
 def make_batched_simulator(schedule: GateSchedule, cfg: SimConfig):
-    """Returns a jitted ``features [B, n] -> MPS`` (leaves batched on axis 0)."""
+    """Returns a jitted ``features [B, n] -> MPS`` (leaves batched on axis 0).
+
+    Single-program variant: the whole circuit compiles into one XLA program.
+    Preferred for sharded execution (parallel/gram.py) and small schedules;
+    for long schedules on a real chip use :func:`make_chunked_simulator`,
+    which bounds per-dispatch duration and reuses one compiled chunk body.
+    """
 
     @jax.jit
     def sim_batch(features):
@@ -88,6 +95,117 @@ def make_batched_simulator(schedule: GateSchedule, cfg: SimConfig):
             return jax.vmap(lambda f: simulate_one(f, schedule, cfg))(features)
 
     return sim_batch
+
+
+def _op_stream_scan(state: MPS, sites, gkinds, dirs, thetas, cfg: SimConfig):
+    """Scan a (possibly padded) op stream over one state. ``sites/gkinds/
+    dirs [L]`` are shared across the batch; ``thetas [L]`` are per-sample."""
+    rdt = cfg.real_dtype
+    swap_mat = gates.swap(rdt)
+    eye_mat = Cpx(jnp.eye(4, dtype=rdt), jnp.zeros((4, 4), rdt))
+
+    def body(carry, step):
+        site, gkind, direction, theta = step
+        xx = gates.xxphase(theta, rdt)
+        w_sw = (gkind == GATE_SWAP).astype(rdt)
+        w_xx = (gkind == GATE_XX).astype(rdt)
+        w_i = 1.0 - w_sw - w_xx
+        mat = Cpx(
+            w_i * eye_mat.re + w_sw * swap_mat.re + w_xx * xx.re,
+            w_xx * xx.im,
+        )
+        return mps_ops.apply_2site(carry, site, mat, cfg, direction), None
+
+    state, _ = lax.scan(body, state, (sites, gkinds, dirs, thetas))
+    return state
+
+
+def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128):
+    """Chunked batched simulator: ``features [B, n] -> MPS`` via a host loop
+    over fixed-length op chunks.
+
+    Why: (a) a single dispatched program stays short (long device programs
+    trip RPC watchdogs on tunneled TPU backends and serialize poorly with
+    host work); (b) ONE compiled chunk body — with the op arrays passed as
+    ARGUMENTS, not baked in as constants — is reused for every chunk of
+    every rep, so compile time is O(1) in circuit depth.
+
+    Segments are padded to a multiple of ``chunk_len`` with neutral ops
+    (identity gate at the current canonical center, center unmoved), which
+    are exact no-ops for the state.
+    """
+    n = schedule.num_qubits
+    rdt = cfg.real_dtype
+    gamma = schedule.gamma
+
+    # --- Pre-lower each segment to padded chunk arrays + angle specs. ---
+    segs = []
+    for seg in schedule.segments:
+        g = len(seg.sites)
+        n_chunks = max(1, -(-g // chunk_len)) if g else 0
+        pad = n_chunks * chunk_len - g
+        if g:
+            # Neutral padding op: identity at the segment-final center.
+            last_site = int(seg.sites[-1])
+            last_dir = int(seg.dirs[-1])
+            neutral_site = last_site  # center is at last_site (+1 if DIR_R)
+            neutral_dir = last_dir
+            sites = np.concatenate([seg.sites, np.full(pad, neutral_site, np.int32)])
+            gk = np.concatenate([seg.gkinds, np.full(pad, GATE_I, np.int32)])
+            dirs = np.concatenate([seg.dirs, np.full(pad, neutral_dir, np.int32)])
+            fa = np.concatenate([seg.fa, np.zeros(pad, np.int32)])
+            fb = np.concatenate([seg.fb, np.zeros(pad, np.int32)])
+        else:
+            sites = gk = dirs = fa = fb = np.zeros((0,), np.int32)
+        segs.append((seg.pos_to_feature, sites, gk, dirs, fa, fb, n_chunks))
+
+    @jax.jit
+    def init_batch(features):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            def one(_):
+                st = mps_ops.zero_state(n, cfg)
+                if schedule.hadamard_init:
+                    st = mps_ops.apply_1q_all(st, gates.hadamard(rdt))
+                return st
+
+            return jax.vmap(one)(features[:, 0])
+
+    @jax.jit
+    def rz_batch(state, xs_at_pos):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            def one(st, xp):
+                return mps_ops.apply_diag_all(st, gates.rz_phases(gamma * xp, rdt))
+
+            return jax.vmap(one)(state, xs_at_pos)
+
+    @jax.jit
+    def chunk_batch(state, sites, gkinds, dirs, thetas):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return jax.vmap(
+                lambda st, th: _op_stream_scan(st, sites, gkinds, dirs, th, cfg)
+            )(state, thetas)
+
+    def simulate(features) -> MPS:
+        x = np.asarray(features, dtype=np.float64)
+        state = init_batch(jnp.asarray(x, rdt))
+        for (pos_to_feature, sites, gk, dirs, fa, fb, n_chunks) in segs:
+            state = rz_batch(state, jnp.asarray(x[:, pos_to_feature], rdt))
+            if n_chunks == 0:
+                continue
+            thetas = (0.5 * np.pi * gamma * gamma * (1.0 - x[:, fa]) * (1.0 - x[:, fb]))
+            thetas = thetas.astype(np.dtype(rdt))
+            for c in range(n_chunks):
+                sl = slice(c * chunk_len, (c + 1) * chunk_len)
+                state = chunk_batch(
+                    state,
+                    jnp.asarray(sites[sl]),
+                    jnp.asarray(gk[sl]),
+                    jnp.asarray(dirs[sl]),
+                    jnp.asarray(thetas[:, sl]),
+                )
+        return state
+
+    return simulate
 
 
 from functools import partial

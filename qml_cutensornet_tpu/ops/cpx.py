@@ -137,3 +137,63 @@ def stack(xs: list[Cpx], axis=0) -> Cpx:
 def tmap(fn, x: Cpx) -> Cpx:
     """Apply the same shape/indexing transform to both parts."""
     return Cpx(fn(x.re), fn(x.im))
+
+
+def embed_interleaved(m: Cpx) -> jnp.ndarray:
+    """INTERLEAVED real embedding: each complex entry becomes the 2x2 block
+    [[re, -im], [im, re]], giving a real [2p, 2q] matrix.
+
+    Unlike the block embedding (:func:`embed`), this one maps complex
+    TRIANGULAR structure to real triangular structure (complex diagonal
+    entries that are real map to scalar 2x2 blocks r*I). Consequence, by
+    uniqueness of the Cholesky factorization: for Hermitian positive
+    definite G, ``chol(embed_interleaved(G)) == embed_interleaved(chol(G))``
+    EXACTLY — complex Cholesky (and triangular solves) reduce to real ones.
+    """
+    p, q = m.re.shape
+    top = jnp.stack([m.re, -m.im], axis=-1)  # [p, q, 2]
+    bot = jnp.stack([m.im, m.re], axis=-1)  # [p, q, 2]
+    e = jnp.stack([top, bot], axis=1)  # [p, 2, q, 2]
+    return e.reshape(2 * p, 2 * q)
+
+
+def lift_interleaved(e: jnp.ndarray) -> Cpx:
+    """Inverse of :func:`embed_interleaved` (reads the block structure)."""
+    p, q = e.shape[0] // 2, e.shape[1] // 2
+    er = e.reshape(p, 2, q, 2)
+    return Cpx(er[:, 0, :, 0], er[:, 1, :, 0])
+
+
+def cholesky_qr(v: Cpx, ridge: float | None = None) -> Cpx:
+    """Orthonormalize the columns of ``v [m, k]`` via equilibrated
+    CholeskyQR: columns are scaled to unit norm first, so the Gram matrix
+    has a unit diagonal and a tiny ridge (relative to 1) keeps the Cholesky
+    defined without polluting weak-but-real directions. G = D v^H v D,
+    L = chol(G + ridge I), Q = (vD) L^{-H} — all real linear algebra through
+    the interleaved embedding (see :func:`embed_interleaved`).
+
+    Rank-deficient inputs yield orthonormal junk columns spanning arbitrary
+    complement directions; downstream masking removes them (their projected
+    weight is ~zero). For near-orthonormal input, one call returns
+    machine-precision orthonormality; CholeskyQR2 = two calls.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    rdt = v.re.dtype
+    if ridge is None:
+        ridge = 1e-5 if rdt == jnp.float32 else 1e-14
+    norms = jnp.sqrt(jnp.sum(abs2(v), axis=0))
+    floor = jnp.max(norms) * jnp.asarray(1e-30, rdt) + jnp.asarray(1e-37, rdt)
+    d = 1.0 / jnp.maximum(norms, floor)
+    vd = scale(v, d[None, :])
+
+    g = einsum("mi,mj->ij", conj(vd), vd)  # [k, k] Hermitian, ~unit diagonal
+    k = g.re.shape[0]
+    g = Cpx(g.re + ridge * jnp.eye(k, dtype=rdt), g.im)
+    ge = embed_interleaved(g)
+    le = jnp.linalg.cholesky(ge)
+    # Q = vD L^{-H}:  L Q^H = (vD)^H, solved in the embedding.
+    ve = embed_interleaved(Cpx(vd.re.T, -vd.im.T))  # (vD)^H as [2k, 2m]
+    qe = solve_triangular(le, ve, lower=True)  # embed(Q^H)
+    qh = lift_interleaved(qe)
+    return Cpx(qh.re.T, -qh.im.T)

@@ -37,10 +37,11 @@ TPU constraints shape the design:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.config import SimConfig
@@ -130,6 +131,80 @@ def _tail_weights(p_desc):
     return tail, total
 
 
+@lru_cache(maxsize=64)
+def _subspace_start(m: int, keep: int, dtype_name: str):
+    """Fixed random start block for subspace iteration (deterministic; a
+    fixed generic start almost surely overlaps every singular direction)."""
+    rng = np.random.default_rng(0x5EED)
+    re = rng.normal(size=(m, keep)).astype(dtype_name)
+    im = rng.normal(size=(m, keep)).astype(dtype_name)
+    return re, im
+
+
+def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
+    """Matmul-only truncated factorization via subspace (power) iteration.
+
+    QDWH-based SVD/eigh on TPU costs ~100x a matmul of the same size; this
+    path replaces it with q iterations of V <- orth(H V), H = theta theta^H,
+    orthonormalized by CholeskyQR through the interleaved real embedding.
+    Any orthonormal basis Q of (an approximation of) the top left singular
+    subspace yields an exact factorization theta ~= Q (Q^H theta); the
+    truncation penalty of an imperfect subspace is bounded by the spectrum's
+    flatness near the cut — exactly where optimal truncation is insensitive.
+    When rank(theta) <= keep (the no-truncation regime, e.g. eps=1e-16 with
+    adequate chi) the factorization is EXACT up to roundoff.
+
+    Per-direction singular values are recovered as row norms of the right
+    factor; the eps mask uses a sorted threshold so rows need not be
+    reordered (bond basis order is unphysical).
+
+    Returns (left, right, kept_fraction, rank) like :func:`truncated_svd`.
+    """
+    m, k = theta.re.shape
+    rdt = theta.re.dtype
+
+    h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian PSD
+    v0re, v0im = _subspace_start(m, keep, np.dtype(rdt).name)
+    v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
+    for _ in range(max(1, cfg.subspace_iters)):
+        v = cpx.einsum("ij,jk->ik", h, v)
+        v = cpx.cholesky_qr(v)
+    q = cpx.cholesky_qr(v)  # second pass: CholeskyQR2 quality
+
+    r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
+    s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
+    total = jnp.sum(cpx.abs2(theta))
+    beyond = jnp.maximum(total - jnp.sum(s2), 0.0)
+
+    s2_sorted = jnp.sort(s2)[::-1]
+    tail = jnp.cumsum(s2_sorted[::-1])[::-1] + beyond
+    rule = tail > cfg.truncation_error * total  # keep sorted rank i
+    n_keep = jnp.maximum(jnp.sum(rule.astype(jnp.int32)), 1)
+    thresh = s2_sorted[jnp.minimum(n_keep - 1, keep - 1)]
+    # Relative floor: CholeskyQR's ridge leaves junk directions with tiny
+    # but nonzero weight; cut below the dtype's resolvable singular-value
+    # ratio so rank/bond-dim stats reflect true ranks. (Components this
+    # small are orders of magnitude below the kernel parity budget.)
+    sv_ratio_floor = 2e-5 if rdt == jnp.float32 else 1e-10
+    floor = s2_sorted[0] * (sv_ratio_floor * sv_ratio_floor)
+    mask = (s2 >= jnp.maximum(thresh, 0.0)) & (s2 > floor)
+    if cfg.value_of_zero > 0.0:
+        mask = mask & (jnp.sqrt(s2) > cfg.value_of_zero)
+
+    mf = mask.astype(rdt)
+    left = cpx.scale(q, mf[None, :])
+    right = cpx.scale(r, mf[:, None])
+    kept = jnp.sum(jnp.where(mask, s2, 0.0))
+    kept_fraction = jnp.minimum(
+        jnp.where(total > 0, kept / jnp.where(total > 0, total, 1.0), 1.0), 1.0
+    )
+    if cfg.renormalize:
+        inv = lax.rsqrt(jnp.where(kept_fraction > 0, kept_fraction, 1.0))
+        right = cpx.scale(right, inv.astype(rdt))
+    rank = jnp.sum(mask.astype(jnp.int32))
+    return left, right, kept_fraction, rank
+
+
 def _left_vectors_svd(theta: Cpx, ncand: int):
     e = cpx.embed(theta)  # [2m, 2k]
     u, s, _ = jnp.linalg.svd(e, full_matrices=False)
@@ -156,6 +231,8 @@ def truncated_svd(theta: Cpx, cfg: SimConfig, keep: int):
 
     Returns (left, right, kept_fraction, rank).
     """
+    if cfg.svd_method == "subspace":
+        return _split_subspace(theta, cfg, keep)
     m, k = theta.re.shape
     ncand = min(2 * keep, 2 * min(m, k))
     if cfg.svd_method == "eigh":

@@ -149,15 +149,38 @@ def test_zero_state_and_hadamard_layer():
     np.testing.assert_allclose(v, np.full(8, 1 / np.sqrt(8)), atol=1e-14)
 
 
-def test_eigh_svd_method_agrees():
+@pytest.mark.parametrize("method", ["eigh", "subspace"])
+def test_alternate_svd_methods_agree(method):
     n, reps, nn, gamma = 6, 2, 2, 1.0
     rng = np.random.default_rng(11)
     emap = entanglement_graph(n, nn)
     sched = build_schedule(n, reps, gamma, emap)
     x = rand_features(rng, n)
     a = simulate_one(jnp.asarray(x), sched, exact_cfg(n))
-    b = simulate_one(jnp.asarray(x), sched, exact_cfg(n, svd_method="eigh"))
+    b = simulate_one(jnp.asarray(x), sched, exact_cfg(n, svd_method=method))
     np.testing.assert_allclose(abs(vdot_c(a, b)) ** 2, 1.0, atol=1e-7)
+
+
+def test_subspace_method_full_parity_vs_dense():
+    """The matmul-only subspace factorization must reproduce the dense
+    statevector exactly in the no-truncation regime, and stay close under a
+    chi cap."""
+    n, reps, nn, gamma = 6, 2, 3, 1.0
+    rng = np.random.default_rng(21)
+    emap = entanglement_graph(n, nn)
+    sched = build_schedule(n, reps, gamma, emap)
+    x = rand_features(rng, n)
+    st = simulate_one(jnp.asarray(x), sched, exact_cfg(n, svd_method="subspace"))
+    got = mps_state_to_dense(st, n, sched.final_pos)
+    want = dense.ansatz_state(x, reps, gamma, emap)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    # chi-capped: compare fidelity tracking against the exact-svd engine
+    cfg_cap_sub = SimConfig(chi=4, precision="f64", svd_method="subspace", subspace_iters=4)
+    cfg_cap_svd = SimConfig(chi=4, precision="f64", svd_method="svd")
+    a = simulate_one(jnp.asarray(x), sched, cfg_cap_sub)
+    b = simulate_one(jnp.asarray(x), sched, cfg_cap_svd)
+    assert abs(float(a.fidelity) - float(b.fidelity)) < 0.05
+    assert abs(vdot_c(a, b)) ** 2 > 0.95
 
 
 def test_f32_precision_close_to_f64():
