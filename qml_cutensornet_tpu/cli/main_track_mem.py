@@ -35,23 +35,22 @@ def simulate_with_mem_log(schedule, features, cfg, log=None):
     if schedule.hadamard_init:
         state = mps_ops.apply_1q_all(state, gates.hadamard(rdt))
 
+    from qml_cutensornet_tpu.models.simulate import apply_schedule_op
+
     gamma = schedule.gamma
     for seg in schedule.segments:
         xs = x[seg.pos_to_feature]
         state = mps_ops.apply_diag_all(state, gates.rz_phases(jnp.asarray(gamma * xs, rdt)))
         for g in range(len(seg.sites)):
             theta = 0.5 * np.pi * gamma * gamma * (1 - x[seg.fa[g]]) * (1 - x[seg.fb[g]])
-            if seg.gkinds[g] == GATE_I:
-                mat = cpx.Cpx(jnp.eye(4, dtype=rdt), jnp.zeros((4, 4), rdt))
-            else:
-                from qml_cutensornet_tpu.models.ansatz import GATE_XX
-
-                mat = (
-                    gates.xxphase(jnp.asarray(theta, rdt))
-                    if seg.gkinds[g] == GATE_XX
-                    else gates.swap(rdt)
-                )
-            state = mps_ops.apply_2site(state, int(seg.sites[g]), mat, cfg, int(seg.dirs[g]))
+            state = apply_schedule_op(
+                state,
+                int(seg.sites[g]),
+                int(seg.gkinds[g]),
+                int(seg.dirs[g]),
+                jnp.asarray(theta, rdt),
+                cfg,
+            )
             mib = float(mps_ops.actual_nbytes(state, itemsize)) / (1024**2)
             print(f"[DEBUG] MPS size (MiB) = {mib}", file=log)
             log.flush()

@@ -22,6 +22,28 @@ from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.mps import MPS
 
 
+def apply_schedule_op(state: MPS, site, gkind, direction, theta, cfg: SimConfig) -> MPS:
+    """Dispatch one lowered op: GATE_I ops are canonical-center moves
+    (single-site QR, exact and cheap); SWAP/XX are two-site truncating
+    updates. Traceable with all of (site, gkind, direction, theta) dynamic."""
+    rdt = cfg.real_dtype
+    site = jnp.asarray(site, jnp.int32)
+    gkind = jnp.asarray(gkind, jnp.int32)
+    direction = jnp.asarray(direction, jnp.int32)
+
+    def do_move(st):
+        return mps_ops.move_center(st, site, direction, cfg)
+
+    def do_gate(st):
+        xx = gates.xxphase(theta, rdt)
+        sw = gates.swap(rdt)
+        w_xx = (gkind == GATE_XX).astype(rdt)
+        mat = Cpx(w_xx * xx.re + (1.0 - w_xx) * sw.re, w_xx * xx.im)
+        return mps_ops.apply_2site(st, site, mat, cfg, direction)
+
+    return lax.cond(gkind == GATE_I, do_move, do_gate, state)
+
+
 def simulate_one(features, schedule: GateSchedule, cfg: SimConfig) -> MPS:
     """Evolve |0..0> through the ansatz for one datapoint ``features [n]``.
 
@@ -52,20 +74,9 @@ def simulate_one(features, schedule: GateSchedule, cfg: SimConfig) -> MPS:
             0.5 * jnp.pi * (gamma * gamma) * (1.0 - x[seg.fa]) * (1.0 - x[seg.fb])
         ).astype(rdt)
 
-        eye_mat = Cpx(jnp.eye(4, dtype=rdt), jnp.zeros((4, 4), rdt))
-
         def body(carry, step):
             site, gkind, direction, theta = step
-            xx = gates.xxphase(theta, rdt)
-            # One-hot blend over the three static gate kinds (I / SWAP / XX).
-            w_sw = (gkind == GATE_SWAP).astype(rdt)
-            w_xx = (gkind == GATE_XX).astype(rdt)
-            w_i = 1.0 - w_sw - w_xx
-            mat = Cpx(
-                w_i * eye_mat.re + w_sw * swap_mat.re + w_xx * xx.re,
-                w_xx * xx.im,
-            )
-            return mps_ops.apply_2site(carry, site, mat, cfg, direction), None
+            return apply_schedule_op(carry, site, gkind, direction, theta, cfg), None
 
         state, _ = lax.scan(
             body,
@@ -100,21 +111,10 @@ def make_batched_simulator(schedule: GateSchedule, cfg: SimConfig):
 def _op_stream_scan(state: MPS, sites, gkinds, dirs, thetas, cfg: SimConfig):
     """Scan a (possibly padded) op stream over one state. ``sites/gkinds/
     dirs [L]`` are shared across the batch; ``thetas [L]`` are per-sample."""
-    rdt = cfg.real_dtype
-    swap_mat = gates.swap(rdt)
-    eye_mat = Cpx(jnp.eye(4, dtype=rdt), jnp.zeros((4, 4), rdt))
 
     def body(carry, step):
         site, gkind, direction, theta = step
-        xx = gates.xxphase(theta, rdt)
-        w_sw = (gkind == GATE_SWAP).astype(rdt)
-        w_xx = (gkind == GATE_XX).astype(rdt)
-        w_i = 1.0 - w_sw - w_xx
-        mat = Cpx(
-            w_i * eye_mat.re + w_sw * swap_mat.re + w_xx * xx.re,
-            w_xx * xx.im,
-        )
-        return mps_ops.apply_2site(carry, site, mat, cfg, direction), None
+        return apply_schedule_op(carry, site, gkind, direction, theta, cfg), None
 
     state, _ = lax.scan(body, state, (sites, gkinds, dirs, thetas))
     return state

@@ -164,36 +164,42 @@ def lift_interleaved(e: jnp.ndarray) -> Cpx:
     return Cpx(er[:, 0, :, 0], er[:, 1, :, 0])
 
 
-def cholesky_qr(v: Cpx, ridge: float | None = None) -> Cpx:
-    """Orthonormalize the columns of ``v [m, k]`` via equilibrated
-    CholeskyQR: columns are scaled to unit norm first, so the Gram matrix
-    has a unit diagonal and a tiny ridge (relative to 1) keeps the Cholesky
-    defined without polluting weak-but-real directions. G = D v^H v D,
-    L = chol(G + ridge I), Q = (vD) L^{-H} — all real linear algebra through
-    the interleaved embedding (see :func:`embed_interleaved`).
+def cholesky_qr(v: Cpx, ridge: float | None = None, equilibrate: bool = True) -> Cpx:
+    """Orthonormalize the columns of ``v [m, k]`` via CholeskyQR:
+    G = v^H v, L = chol(G + ridge I), Q = v L^{-H} — all real linear algebra
+    through the interleaved embedding (see :func:`embed_interleaved`).
 
-    Rank-deficient inputs yield orthonormal junk columns spanning arbitrary
-    complement directions; downstream masking removes them (their projected
-    weight is ~zero). For near-orthonormal input, one call returns
-    machine-precision orthonormality; CholeskyQR2 = two calls.
+    ``equilibrate`` scales columns to unit norm first so the ridge (relative
+    to a unit diagonal) does not pollute weak-but-real directions — use it
+    when column norms vary wildly (e.g. after a power-iteration multiply).
+    For a SECOND pass on near-orthonormal input, call with
+    ``equilibrate=False`` and the default tiny ridge: linearly dependent
+    junk columns then stay SMALL (not renormalized) while being
+    orthogonalized against the true directions, so they cannot double-count
+    weight; downstream masking removes them (their projected weight is
+    ~zero). CholeskyQR2 = equilibrated pass + raw pass.
     """
     from jax.scipy.linalg import solve_triangular
 
     rdt = v.re.dtype
     if ridge is None:
-        ridge = 1e-5 if rdt == jnp.float32 else 1e-14
-    norms = jnp.sqrt(jnp.sum(abs2(v), axis=0))
-    floor = jnp.max(norms) * jnp.asarray(1e-30, rdt) + jnp.asarray(1e-37, rdt)
-    d = 1.0 / jnp.maximum(norms, floor)
-    vd = scale(v, d[None, :])
+        if equilibrate:
+            ridge = 1e-5 if rdt == jnp.float32 else 1e-14
+        else:
+            ridge = 1e-6 if rdt == jnp.float32 else 1e-14
+    if equilibrate:
+        norms = jnp.sqrt(jnp.sum(abs2(v), axis=0))
+        floor = jnp.max(norms) * jnp.asarray(1e-30, rdt) + jnp.asarray(1e-37, rdt)
+        d = 1.0 / jnp.maximum(norms, floor)
+        v = scale(v, d[None, :])
 
-    g = einsum("mi,mj->ij", conj(vd), vd)  # [k, k] Hermitian, ~unit diagonal
+    g = einsum("mi,mj->ij", conj(v), v)  # [k, k] Hermitian
     k = g.re.shape[0]
     g = Cpx(g.re + ridge * jnp.eye(k, dtype=rdt), g.im)
     ge = embed_interleaved(g)
     le = jnp.linalg.cholesky(ge)
-    # Q = vD L^{-H}:  L Q^H = (vD)^H, solved in the embedding.
-    ve = embed_interleaved(Cpx(vd.re.T, -vd.im.T))  # (vD)^H as [2k, 2m]
+    # Q = v L^{-H}:  L Q^H = v^H, solved in the embedding.
+    ve = embed_interleaved(Cpx(v.re.T, -v.im.T))  # v^H as [2k, 2m]
     qe = solve_triangular(le, ve, lower=True)  # embed(Q^H)
     qh = lift_interleaved(qe)
     return Cpx(qh.re.T, -qh.im.T)

@@ -168,8 +168,10 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
     for _ in range(max(1, cfg.subspace_iters)):
         v = cpx.einsum("ij,jk->ik", h, v)
-        v = cpx.cholesky_qr(v)
-    q = cpx.cholesky_qr(v)  # second pass: CholeskyQR2 quality
+        v = cpx.cholesky_qr(v, equilibrate=True)
+    # Raw second pass (CholeskyQR2): machine-precision orthonormality on
+    # the real directions; junk columns stay small and orthogonalized.
+    q = cpx.cholesky_qr(v, equilibrate=False)
 
     r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
