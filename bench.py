@@ -48,6 +48,11 @@ def main() -> None:
     from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
     from qml_cutensornet_tpu.models.entanglement import entanglement_graph
     from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.utils.data import (
+        load_and_prepare,
+        make_synthetic_elliptic,
+        preprocess_elliptic,
+    )
     from qml_cutensornet_tpu.utils.jaxenv import setup_compilation_cache
 
     setup_compilation_cache()
@@ -55,9 +60,18 @@ def main() -> None:
 
     log(f"bench devices: {jax.devices()}")
 
-    # Feature data through the real pipeline shape: values in [0, 2].
-    rng = np.random.default_rng(7)
-    X = rng.uniform(0.0, 2.0, size=(n_points, nq))
+    # Feature data through the REAL pipeline (sampler + scaler chain): the
+    # reference's chi statistics depend on the post-scaler feature
+    # distribution, so uniform angles would misrepresent the workload.
+    import pathlib
+
+    if not pathlib.Path("datasets/elliptic_preproc.csv").is_file():
+        make_synthetic_elliptic(n_labeled=4 * n_points, seed=11)
+        preprocess_elliptic()
+    half = -(-5 * n_points // 8) + 1  # train split is ~80% of 2*half
+    X, _, _, _ = load_and_prepare("datasets/elliptic_preproc.csv", nq, half, half, 5)
+    X = X[:n_points]
+    assert len(X) == n_points, f"got {len(X)} points"
 
     ansatz = KernelStateAnsatz(
         nq, reps, gamma, entanglement_graph(nq, d),

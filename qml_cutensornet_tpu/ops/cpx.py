@@ -164,6 +164,30 @@ def lift_interleaved(e: jnp.ndarray) -> Cpx:
     return Cpx(er[:, 0, :, 0], er[:, 1, :, 0])
 
 
+def qr(v: Cpx) -> tuple[Cpx, Cpx]:
+    """Complex reduced QR via REAL Householder QR of the interleaved
+    embedding. The positive-diagonal reduced QR is unique for full-rank
+    input, and the canonical complex factors' embeddings ARE a real QR with
+    positive diagonal — so after normalizing the real factor signs, lifting
+    recovers the complex factors exactly. Backward-stable at any condition
+    number (unlike CholeskyQR). Columns whose R diagonal collapses to ~0
+    (rank deficiency) lift to junk — but their R rows are ~0, so Q @ R still
+    reproduces v to roundoff.
+    """
+    e = embed_interleaved(v)  # [2m, 2k]
+    qe, re_ = jnp.linalg.qr(e)
+    d = jnp.sign(jnp.diagonal(re_))
+    d = jnp.where(d == 0, 1.0, d).astype(e.dtype)
+    qe = qe * d[None, :]
+    re_ = re_ * d[:, None]
+    return lift_interleaved(qe), lift_interleaved(re_)
+
+
+def qr_orth(v: Cpx) -> Cpx:
+    """Orthonormal basis of the columns of ``v`` (Q factor of :func:`qr`)."""
+    return qr(v)[0]
+
+
 def cholesky_qr(v: Cpx, ridge: float | None = None, equilibrate: bool = True) -> Cpx:
     """Orthonormalize the columns of ``v [m, k]`` via CholeskyQR:
     G = v^H v, L = chol(G + ridge I), Q = v L^{-H} — all real linear algebra

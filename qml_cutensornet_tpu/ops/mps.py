@@ -149,8 +149,7 @@ def move_center(mps: MPS, site, direction, cfg: SimConfig) -> MPS:
 
     def right(a, b):
         t = cpx.tmap(lambda x: x.reshape(chi * 2, chi), a)
-        q = cpx.cholesky_qr(cpx.cholesky_qr(t, equilibrate=True), equilibrate=False)
-        r = cpx.einsum("mi,mj->ij", cpx.conj(q), t)  # [chi, chi]
+        q, r = cpx.qr(t)  # backward-stable at any Schmidt conditioning
         new_a = cpx.tmap(lambda x: x.reshape(chi, 2, chi), q)
         new_b = cpx.einsum("ij,jsc->isc", r, b)
         return new_a, new_b
@@ -158,10 +157,10 @@ def move_center(mps: MPS, site, direction, cfg: SimConfig) -> MPS:
     def left(a, b):
         t = cpx.tmap(lambda x: x.reshape(chi, 2 * chi), b)
         th = Cpx(t.re.T, -t.im.T)  # t^H [2chi, chi]
-        q = cpx.cholesky_qr(cpx.cholesky_qr(th, equilibrate=True), equilibrate=False)
-        l = cpx.einsum("ij,jk->ik", t, q)  # [chi, chi]
-        qr = Cpx(q.re.T, -q.im.T)  # row-orthonormal [chi, 2chi]
-        new_b = cpx.tmap(lambda x: x.reshape(chi, 2, chi), qr)
+        q, r = cpx.qr(th)  # t^H = q r  =>  t = r^H q^H
+        l = Cpx(r.re.T, -r.im.T)  # [chi, chi]
+        qrow = Cpx(q.re.T, -q.im.T)  # row-orthonormal [chi, 2chi]
+        new_b = cpx.tmap(lambda x: x.reshape(chi, 2, chi), qrow)
         new_a = cpx.einsum("asb,bj->asj", a, l)
         return new_a, new_b
 

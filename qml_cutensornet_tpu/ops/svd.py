@@ -169,9 +169,10 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     for _ in range(max(1, cfg.subspace_iters)):
         v = cpx.einsum("ij,jk->ik", h, v)
         v = cpx.cholesky_qr(v, equilibrate=True)
-    # Raw second pass (CholeskyQR2): machine-precision orthonormality on
-    # the real directions; junk columns stay small and orthogonalized.
-    q = cpx.cholesky_qr(v, equilibrate=False)
+    # Final pass: true Householder QR (interleaved embedding) — machine
+    # precision orthonormality at any conditioning; the cheap CholeskyQR
+    # passes above only needed to keep the iteration well-scaled.
+    q = cpx.qr_orth(v)
 
     r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
