@@ -233,8 +233,27 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
         def step(m, ts):
             ty_re, ty_im, tx_re, tx_im = ts
             ty, tx = Cpx(ty_re, ty_im), Cpx(tx_re, tx_im)
-            t = cpx.einsum("yxab,xbsd->yxasd", m, tx)
-            m2 = cpx.einsum("yasc,yxasd->yxcd", cpx.conj(ty), t)
+            # Two LARGE batched matmuls per site (MXU-shaped), not
+            # By*Bx tiny ones:
+            #   T[x, (y a), (s d)] = sum_b M[x, (y a), b] Tx[x, b, (s d)]
+            mx = cpx.tmap(
+                lambda t: jnp.moveaxis(t, 1, 0).reshape(Bx, By * chi, chi), m
+            )
+            txm = cpx.tmap(lambda t: t.reshape(Bx, chi, 2 * chi), tx)
+            t1 = cpx.einsum("xmb,xbn->xmn", mx, txm)  # [Bx, By*chi, 2chi]
+            #   M'[y, c, (x d)] = sum_(a s) conj(Ty)[y, (a s), c] T2[y, (a s), (x d)]
+            # t1 indices: [x, (y a), (s d)] -> regroup to [y, (a s), (x d)].
+            t2 = cpx.tmap(
+                lambda t: t.reshape(Bx, By, chi, 2, chi)
+                .transpose(1, 2, 3, 0, 4)
+                .reshape(By, chi * 2, Bx * chi),
+                t1,
+            )
+            tym = cpx.tmap(lambda t: t.reshape(By, chi * 2, chi), ty)
+            m2 = cpx.einsum("ykc,ykn->ycn", cpx.conj(tym), t2)  # [By, chi, Bx*chi]
+            m2 = cpx.tmap(
+                lambda t: jnp.moveaxis(t.reshape(By, chi, Bx, chi), 2, 1), m2
+            )
             return m2, None
 
         site_major = lambda t: jnp.moveaxis(t, 1, 0)

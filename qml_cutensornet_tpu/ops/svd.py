@@ -166,13 +166,15 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian PSD
     v0re, v0im = _subspace_start(m, keep, np.dtype(rdt).name)
     v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
+    # Householder QR (interleaved embedding) for every orthonormalization:
+    # backward-stable at any conditioning. CholeskyQR variants NaN on the
+    # near-rank-deficient Grams that early-circuit states produce (their
+    # equilibrated lambda_max approaches k, overwhelming any safe ridge in
+    # f32 at k >= 128).
     for _ in range(max(1, cfg.subspace_iters)):
         v = cpx.einsum("ij,jk->ik", h, v)
-        v = cpx.cholesky_qr(v, equilibrate=True)
-    # Final pass: true Householder QR (interleaved embedding) — machine
-    # precision orthonormality at any conditioning; the cheap CholeskyQR
-    # passes above only needed to keep the iteration well-scaled.
-    q = cpx.qr_orth(v)
+        v = cpx.qr_orth(v)
+    q = v
 
     r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
