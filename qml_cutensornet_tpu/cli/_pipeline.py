@@ -19,6 +19,8 @@ positional contract come from environment variables:
     QMLTPU_MESH        device count for the sharded Gram build (default:
                        all local devices when more than one)
     QMLTPU_CHECKPOINT  1 to enable per-tile checkpoint/resume
+    QMLTPU_PLATFORM    force a JAX platform (e.g. "cpu") — useful because
+                       some harnesses shim the JAX_PLATFORMS env var
 """
 
 from __future__ import annotations
@@ -64,7 +66,20 @@ class RunParams:
         return entanglement_graph(nq=self.num_features, nn=self.nearest_neighbors)
 
 
+def init_platform() -> None:
+    """Apply QMLTPU_PLATFORM before the first JAX backend use."""
+    platform = os.environ.get("QMLTPU_PLATFORM")
+    if platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
+
 def parse_argv(argv=None) -> RunParams:
+    init_platform()
     argv = sys.argv if argv is None else argv
     if len(argv) <= 9:
         raise ValueError(INPUT_ERROR_MSG)

@@ -10,8 +10,9 @@ g=1.0
 s=5
 df="elliptic_preproc.csv"
 
+cd "$(dirname "$0")"
 mkdir -p raw/cpu raw/gpu
-cd "$(dirname "$0")/../.."
+cd ../..
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 [ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic

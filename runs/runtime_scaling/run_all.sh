@@ -12,8 +12,9 @@ d=1
 s=5
 df="elliptic_preproc.csv"
 
+cd "$(dirname "$0")"
 mkdir -p raw/
-cd "$(dirname "$0")/../.."
+cd ../..
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 [ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic 8000

@@ -7,8 +7,9 @@ ntr=${NTR:-200}
 r=2
 df="elliptic_preproc.csv"
 
+cd "$(dirname "$0")"
 mkdir -p raw/gaussian raw/quantum
-cd "$(dirname "$0")/../.."
+cd ../..
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 [ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic 2000
