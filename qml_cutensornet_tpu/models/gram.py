@@ -189,6 +189,11 @@ def build_kernel_matrix(
     y_ranges = _tile_ranges(len_y, tile)
     x_ranges = _tile_ranges(len_x, tile)
     symmetric = Y is None
+    # Fused VMEM-resident Pallas kernel where supported (~2x over the XLA
+    # scan); requires lane-aligned chi and full f32 precision semantics.
+    from qml_cutensornet_tpu.ops.pallas_tile import pallas_tile_supported
+
+    use_pallas = pallas_tile_supported(cfg.chi) and cfg.matmul_precision == "highest"
     for (y0, y1) in y_ranges:
         for (x0, x1) in x_ranges:
             if symmetric and x0 > y0:
@@ -196,11 +201,14 @@ def build_kernel_matrix(
             if ckpt_file is not None and kernel_mat[y0, x0] != 0:
                 continue  # tile already in the checkpoint (cpu:251-253)
             t0 = time.perf_counter()
-            block = tile_overlaps_sq(
-                cpx.tmap(lambda t: t[y0:y1], ay),
-                cpx.tmap(lambda t: t[x0:x1], ax),
-                precision=cfg.matmul_precision,
-            )
+            ay_blk = cpx.tmap(lambda t: t[y0:y1], ay)
+            ax_blk = cpx.tmap(lambda t: t[x0:x1], ax)
+            if use_pallas:
+                from qml_cutensornet_tpu.ops.pallas_tile import tile_overlaps_sq_padded
+
+                block = tile_overlaps_sq_padded(ay_blk, ax_blk)
+            else:
+                block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
             kernel_mat[y0:y1, x0:x1] = block

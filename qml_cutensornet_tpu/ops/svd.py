@@ -141,6 +141,26 @@ def _subspace_start(m: int, keep: int, dtype_name: str):
     return re, im
 
 
+def _span_conditioner(v: Cpx) -> Cpx:
+    """Span-preserving re-conditioning of a block between power iterations:
+    V <- V L^{-H} with L = chol(G/s + r I), G = V^H V, s = trace(G)/k.
+    The large ridge makes the Cholesky unconditionally safe in f32; since
+    any invertible column mix preserves the span, it costs no accuracy."""
+    from jax.scipy.linalg import solve_triangular
+
+    rdt = v.re.dtype
+    g = cpx.einsum("mi,mj->ij", cpx.conj(v), v)
+    k = g.re.shape[0]
+    s = jnp.trace(g.re) / k
+    s = jnp.where(s > 0, s, 1.0)
+    ge = cpx.embed_interleaved(Cpx(g.re / s + 1e-3 * jnp.eye(k, dtype=rdt), g.im / s))
+    le = jnp.linalg.cholesky(ge)
+    ve = cpx.embed_interleaved(Cpx(v.re.T, -v.im.T))
+    qe = solve_triangular(le, ve, lower=True)
+    qh = cpx.lift_interleaved(qe)
+    return Cpx(qh.re.T, -qh.im.T)
+
+
 def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     """Matmul-only truncated factorization via subspace (power) iteration.
 
@@ -166,15 +186,17 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian PSD
     v0re, v0im = _subspace_start(m, keep, np.dtype(rdt).name)
     v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
-    # Householder QR (interleaved embedding) for every orthonormalization:
-    # backward-stable at any conditioning. CholeskyQR variants NaN on the
-    # near-rank-deficient Grams that early-circuit states produce (their
-    # equilibrated lambda_max approaches k, overwhelming any safe ridge in
-    # f32 at k >= 128).
-    for _ in range(max(1, cfg.subspace_iters)):
+    # Conditioning passes BETWEEN power iterations only need to preserve the
+    # SPAN (Q = V M for any invertible M spans the same subspace, and only
+    # the span feeds the next multiply and the final QR). So a heavily
+    # ridged, trace-scaled CholeskyQR is both sufficient and NaN-proof
+    # (kappa <= 1/ridge); the FINAL orthonormalization is a backward-stable
+    # Householder QR via the interleaved embedding.
+    for it in range(max(1, cfg.subspace_iters)):
         v = cpx.einsum("ij,jk->ik", h, v)
-        v = cpx.qr_orth(v)
-    q = v
+        if it + 1 < cfg.subspace_iters:
+            v = _span_conditioner(v)
+    q = cpx.qr_orth(v)
 
     r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
