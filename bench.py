@@ -41,7 +41,7 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", 2))
     gamma = float(os.environ.get("BENCH_GAMMA", 1.0))
     chi = int(os.environ.get("BENCH_CHI", 64))
-    sim_batch = int(os.environ.get("QMLTPU_SIM_BATCH", 25))
+    sim_batch = int(os.environ.get("QMLTPU_SIM_BATCH", 50))
     tile = int(os.environ.get("QMLTPU_TILE", 50))
 
     from qml_cutensornet_tpu.config import SimConfig
