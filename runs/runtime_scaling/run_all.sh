@@ -22,7 +22,8 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 for mesh in ${MESHES:-1 2 4 8}; do
     ntr=$((${NTR_BASE:-100} * mesh))
     QMLTPU_MESH=$mesh python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
-    mv train_Nf*.json "runs/runtime_scaling/raw/mesh${mesh}_$(date +%s).json" 2>/dev/null || \
-        for j in train_Nf*.json; do mv "$j" "runs/runtime_scaling/raw/${j%.json}_m${mesh}.json"; done
-    rm -f train_Nf*.npy
+    # Keep the parseable run-info name; the _m suffix lands in the dataset
+    # field, which to_csv treats as free text.
+    for j in train_Nf*.json; do mv "$j" "runs/runtime_scaling/raw/${j%.json}_m${mesh}.json"; done
+    rm -f kernels/train_Nf*.npy train_Nf*.npy 2>/dev/null || true
 done
