@@ -100,10 +100,10 @@ def build_kernel_matrix(
         kernel_mat[y_slice[0] : y_slice[1], x_slice[0] : x_slice[1]] = tile
         if symmetric and x_slice[0] != y_slice[0]:
             kernel_mat[x_slice[0] : x_slice[1], y_slice[0] : y_slice[1]] = tile.T
-        all_chi_x += list(chi_x)
-        all_chi_y += list(chi_y)
-        sim_times.append(timings[0])
-        vdot_times.append(timings[1])
+        all_chi_x += [int(c) for c in chi_x]
+        all_chi_y += [int(c) for c in chi_y]
+        sim_times.append(float(timings[0]))
+        vdot_times.append(float(timings[1]))
         tile_times.append(time.perf_counter() - t0)
         ckpt.unlink(missing_ok=True)
         np.save(ckpt, kernel_mat)
@@ -113,15 +113,15 @@ def build_kernel_matrix(
     if tile_times:
         per_circ = [t / max(1, tile_side) for t in sim_times]
         per_dot = [t / max(1, tile_side**2) for t in vdot_times]
-        profiling["median_tile_time"] = (median(tile_times), "seconds")
-        profiling["median_circ_sim"] = (median(per_circ), "seconds")
+        profiling["median_tile_time"] = (float(median(tile_times)), "seconds")
+        profiling["median_circ_sim"] = (float(median(per_circ)), "seconds")
         profiling["q1_circ_sim"] = (float(np.percentile(per_circ, 25)), "seconds")
         profiling["q3_circ_sim"] = (float(np.percentile(per_circ, 75)), "seconds")
-        profiling["median_product"] = (median(per_dot), "seconds")
+        profiling["median_product"] = (float(median(per_dot)), "seconds")
         profiling["q1_product"] = (float(np.percentile(per_dot, 25)), "seconds")
         profiling["q3_product"] = (float(np.percentile(per_dot, 75)), "seconds")
-        profiling["ave max chi x"] = (mean(all_chi_x), "chi x")
-        profiling["ave max chi y"] = (mean(all_chi_y), "chi y")
+        profiling["ave max chi x"] = (float(mean(all_chi_x)), "chi x")
+        profiling["ave max chi y"] = (float(mean(all_chi_y)), "chi y")
 
     with open(str(info_file) + ".json", "w") as fp:
         json.dump(profiling, fp, indent=4)
