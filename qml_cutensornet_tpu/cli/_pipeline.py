@@ -112,6 +112,7 @@ def sim_config(params: RunParams) -> SimConfig:
         criterion=criterion,
         precision=os.environ.get("QMLTPU_PRECISION", "f32"),
         svd_method=os.environ.get("QMLTPU_SVD", "svd"),
+        subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
     )
 
 
