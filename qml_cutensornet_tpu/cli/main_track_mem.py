@@ -35,7 +35,18 @@ def simulate_with_mem_log(schedule, features, cfg, log=None):
     if schedule.hadamard_init:
         state = mps_ops.apply_1q_all(state, gates.hadamard(rdt))
 
+    import jax
+
     from qml_cutensornet_tpu.models.simulate import apply_schedule_op
+
+    # One compiled step reused for every op (eager per-primitive dispatch is
+    # prohibitively slow through tunneled TPU backends); returns the state
+    # and the unpadded byte count in a single device round-trip.
+    @jax.jit
+    def step(st, site, gkind, direction, theta):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            st = apply_schedule_op(st, site, gkind, direction, theta, cfg)
+            return st, mps_ops.actual_nbytes(st, itemsize)
 
     gamma = schedule.gamma
     for seg in schedule.segments:
@@ -43,15 +54,14 @@ def simulate_with_mem_log(schedule, features, cfg, log=None):
         state = mps_ops.apply_diag_all(state, gates.rz_phases(jnp.asarray(gamma * xs, rdt)))
         for g in range(len(seg.sites)):
             theta = 0.5 * np.pi * gamma * gamma * (1 - x[seg.fa[g]]) * (1 - x[seg.fb[g]])
-            state = apply_schedule_op(
+            state, nbytes = step(
                 state,
-                int(seg.sites[g]),
-                int(seg.gkinds[g]),
-                int(seg.dirs[g]),
+                jnp.int32(seg.sites[g]),
+                jnp.int32(seg.gkinds[g]),
+                jnp.int32(seg.dirs[g]),
                 jnp.asarray(theta, rdt),
-                cfg,
             )
-            mib = float(mps_ops.actual_nbytes(state, itemsize)) / (1024**2)
+            mib = float(nbytes) / (1024**2)
             print(f"[DEBUG] MPS size (MiB) = {mib}", file=log)
             log.flush()
     return state

@@ -11,7 +11,7 @@ s=5
 df="elliptic_preproc.csv"
 
 cd "$(dirname "$0")"
-mkdir -p raw/d6 raw/d12
+for d in ${DS:-6 12}; do mkdir -p "raw/d$d"; done
 cd ../..
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
