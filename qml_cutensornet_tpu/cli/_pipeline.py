@@ -12,7 +12,9 @@ positional contract come from environment variables:
 
     QMLTPU_CHI         bond cap (default: min(2^(nq//2), 64))
     QMLTPU_PRECISION   f32 | f64            (default f32)
-    QMLTPU_SVD         svd | eigh           (default svd)
+    QMLTPU_SVD         subspace | svd | eigh (default subspace — the
+                       matmul-only TPU fast path; "svd" is the QDWH-accurate
+                       reference path)
     QMLTPU_ROUTING     tracked | reference  (default tracked)
     QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
     QMLTPU_TILE        Gram tile side (default 32)
@@ -111,7 +113,7 @@ def sim_config(params: RunParams) -> SimConfig:
         truncation_error=TRUNCATION_ERROR,
         criterion=criterion,
         precision=os.environ.get("QMLTPU_PRECISION", "f32"),
-        svd_method=os.environ.get("QMLTPU_SVD", "svd"),
+        svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
     )
 
