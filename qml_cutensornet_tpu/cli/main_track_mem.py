@@ -16,7 +16,6 @@ import sys
 import numpy as np
 
 from qml_cutensornet_tpu.cli import _pipeline as pipe
-from qml_cutensornet_tpu.models.ansatz import GATE_I
 from qml_cutensornet_tpu.ops import cpx, gates, mps as mps_ops
 
 

@@ -16,7 +16,7 @@ import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.config import SimConfig
-from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_SWAP, GATE_XX, GateSchedule
+from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_XX, GateSchedule
 from qml_cutensornet_tpu.ops import cpx, gates, mps as mps_ops
 from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.mps import MPS

@@ -141,26 +141,6 @@ def _subspace_start(m: int, keep: int, dtype_name: str):
     return re, im
 
 
-def _span_conditioner(v: Cpx) -> Cpx:
-    """Span-preserving re-conditioning of a block between power iterations:
-    V <- V L^{-H} with L = chol(G/s + r I), G = V^H V, s = trace(G)/k.
-    The large ridge makes the Cholesky unconditionally safe in f32; since
-    any invertible column mix preserves the span, it costs no accuracy."""
-    from jax.scipy.linalg import solve_triangular
-
-    rdt = v.re.dtype
-    g = cpx.einsum("mi,mj->ij", cpx.conj(v), v)
-    k = g.re.shape[0]
-    s = jnp.trace(g.re) / k
-    s = jnp.where(s > 0, s, 1.0)
-    ge = cpx.embed_interleaved(Cpx(g.re / s + 1e-3 * jnp.eye(k, dtype=rdt), g.im / s))
-    le = jnp.linalg.cholesky(ge)
-    ve = cpx.embed_interleaved(Cpx(v.re.T, -v.im.T))
-    qe = solve_triangular(le, ve, lower=True)
-    qh = cpx.lift_interleaved(qe)
-    return Cpx(qh.re.T, -qh.im.T)
-
-
 def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     """Matmul-only truncated factorization via subspace (power) iteration.
 
