@@ -10,7 +10,12 @@ values GPU / CPU (mapped to our engine with the matching truncation
 criterion) and the native TPU. TPU-specific knobs that have no slot in the
 positional contract come from environment variables:
 
-    QMLTPU_CHI         bond cap (default: min(2^(nq//2), 64))
+    QMLTPU_CHI         bond cap (default: min(2^(nq//2), 64)); "auto" probes
+                       a feature sample with utils/autotune.choose_chi until
+                       QMLTPU_FID_TARGET (default 1-1e-9) is met, capped at
+                       QMLTPU_AUTO_CHI_MAX (default 256)
+    QMLTPU_CKPT_INTERVAL  min seconds between checkpoint saves (default 0 =
+                       save after every tile, like the reference cpu:279-282)
     QMLTPU_PRECISION   f32 | f64            (default f32)
     QMLTPU_SVD         subspace | svd | eigh (default subspace — the
                        matmul-only TPU fast path; "svd" is the QDWH-accurate
@@ -49,6 +54,9 @@ INPUT_ERROR_MSG = (
 
 # The truncation error assigned to the simulation (main.py:73).
 TRUNCATION_ERROR = 1e-16
+
+# Memo for QMLTPU_CHI=auto probes (train + test Gram share one probe).
+_auto_chi_cache: dict = {}
 
 
 @dataclasses.dataclass
@@ -105,17 +113,47 @@ def default_chi(num_features: int) -> int:
     return int(min(2 ** (num_features // 2), 64))
 
 
-def sim_config(params: RunParams) -> SimConfig:
-    chi = int(os.environ.get("QMLTPU_CHI", default_chi(params.num_features)))
+def sim_config(params: RunParams, sample_features=None) -> SimConfig:
+    """Build the engine config. ``QMLTPU_CHI=auto`` probes the bond cap with
+    utils/autotune.choose_chi on a small sample of the (scaled) training
+    features, targeting ``QMLTPU_FID_TARGET`` (default 1-1e-9, the
+    fidelity regime where truncation is below the 1e-6 kernel parity
+    budget). The chosen chi is recorded in the profiling JSON ("chi" key)."""
+    chi_env = os.environ.get("QMLTPU_CHI")
     criterion = "cutoff" if params.backend == "CPU" else "fidelity"
-    return SimConfig(
-        chi=chi,
+    base = SimConfig(
+        chi=1,
         truncation_error=TRUNCATION_ERROR,
         criterion=criterion,
         precision=os.environ.get("QMLTPU_PRECISION", "f32"),
         svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
     )
+    if chi_env == "auto":
+        if sample_features is None:
+            raise ValueError("QMLTPU_CHI=auto needs sample features (call via build()).")
+        from qml_cutensornet_tpu.utils.autotune import choose_chi
+
+        target = float(os.environ.get("QMLTPU_FID_TARGET", 1.0 - 1e-9))
+        sample = np.asarray(sample_features)[: int(os.environ.get("QMLTPU_AUTO_SAMPLE", 8))]
+        memo_key = (dataclasses.astuple(params), base, target, sample.shape)
+        chi = _auto_chi_cache.get(memo_key)
+        if chi is None:
+            chi = choose_chi(
+                make_ansatz(params).schedule,
+                sample,
+                dataclasses.replace(base, chi=8),
+                fidelity_target=target,
+                chi_max=int(os.environ.get("QMLTPU_AUTO_CHI_MAX", 256)),
+                verbose=True,
+            )
+            _auto_chi_cache[memo_key] = chi
+            print(f"QMLTPU_CHI=auto selected chi={chi}")
+    elif chi_env is not None:
+        chi = int(chi_env)
+    else:
+        chi = default_chi(params.num_features)
+    return dataclasses.replace(base, chi=chi)
 
 
 def engine_kwargs() -> dict:
@@ -202,7 +240,7 @@ def build(params: RunParams, ansatz, X, Y=None, info_file=None):
         Y=None if Y is None else np.asarray(Y),
         info_file=info_file,
         truncation_error=TRUNCATION_ERROR,
-        cfg=sim_config(params),
+        cfg=sim_config(params, sample_features=X),
         loglevel=20,
         **engine_kwargs(),
     )

@@ -10,9 +10,13 @@ def entanglement_graph(nq: int, nn: int) -> list[tuple[int, int]]:
     sub-layers: first a greedy non-overlapping layer (skipping ``i`` already
     used as a right endpoint), then the remainder.
 
-    Matches main.py:21-45 exactly. The reference iterates a Python ``set`` of
-    small ints for the second sub-layer (main.py:41), which in CPython yields
-    ascending order for these values; we make that explicit with ``sorted``.
+    Reproduces main.py:21-45, with one deliberate determinism fix: the
+    reference iterates a Python ``set`` of small ints for the second
+    sub-layer (main.py:41), whose order follows hash-table slots and can
+    deviate from ascending once values collide mod the table size; we use
+    ``sorted`` instead. The resulting STATE and kernel are identical either
+    way (all XXPhase terms commute and eps=1e-16), but per-gate chi/memory
+    traces may order differently from the reference's for some (nq, nn).
     """
     emap: list[tuple[int, int]] = []
     for d in range(1, nn + 1):

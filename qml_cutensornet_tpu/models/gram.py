@@ -23,6 +23,7 @@ batched transfer-matrix contractions (models/simulate.py). When a
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import time
 from statistics import mean, median
@@ -155,6 +156,13 @@ def build_kernel_matrix(
     profiling["median_circ_sim"] = [median(per_circ), "seconds"]
     profiling["q1_circ_sim"] = [float(np.percentile(per_circ, 25)), "seconds"]
     profiling["q3_circ_sim"] = [float(np.percentile(per_circ, 75)), "seconds"]
+    profiling["stats_semantics"] = [
+        "batched execution: circ_sim quartiles are over per-batch means"
+        " (within-batch times are not individually observable);"
+        " product quartiles are over per-tile means",
+        "",
+    ]
+    profiling["chi"] = [cfg.chi, "bond cap"]
 
     itemsize = 2 * jnp.zeros((), cfg.real_dtype).itemsize  # (re, im) pair
     bytes_per_mps = _actual_mps_bytes(chi_x, schedule.num_qubits, itemsize, cfg.chi)
@@ -177,6 +185,8 @@ def build_kernel_matrix(
     kernel_mat = np.zeros((len_y, len_x))
 
     ckpt_file = None
+    ckpt_interval = float(os.environ.get("QMLTPU_CKPT_INTERVAL", "0"))
+    last_ckpt = -float("inf")  # first eligible tile always saves
     if checkpoint and info_file is not None:
         pathlib.Path(checkpoint_dir).mkdir(exist_ok=True)
         ckpt_file = pathlib.Path(checkpoint_dir) / f"checkpoint_{pathlib.Path(info_file).name}.npy"
@@ -185,7 +195,8 @@ def build_kernel_matrix(
             if verbose:
                 print("Recovered from checkpoint!")
 
-    vdot_time = []
+    vdot_time: list[float] = []
+    tile_pairs: list[int] = []  # pair count per computed tile (ragged edges!)
     y_ranges = _tile_ranges(len_y, tile)
     x_ranges = _tile_ranges(len_x, tile)
     symmetric = Y is None
@@ -211,25 +222,32 @@ def build_kernel_matrix(
                 block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
+            tile_pairs.append((y1 - y0) * (x1 - x0))
             kernel_mat[y0:y1, x0:x1] = block
             if symmetric and x0 < y0:
                 kernel_mat[x0:x1, y0:y1] = block.T
-            if ckpt_file is not None:
-                ckpt_file.unlink(missing_ok=True)
-                np.save(ckpt_file, kernel_mat)
+            if ckpt_file is not None and (
+                time.perf_counter() - last_ckpt >= ckpt_interval
+            ):
+                # Atomic write (tmp + rename): a crash mid-save must not
+                # leave a torn checkpoint. The reference re-saves after EVERY
+                # tile (cpu:279-282) — O(N^2) write cost per tile; at scale,
+                # set QMLTPU_CKPT_INTERVAL seconds to amortize (resume then
+                # re-computes at most the last interval's tiles).
+                tmp = ckpt_file.with_suffix(".tmp.npy")
+                np.save(tmp, kernel_mat)
+                tmp.replace(ckpt_file)
+                last_ckpt = time.perf_counter()
 
     if ckpt_file is not None:
         ckpt_file.unlink(missing_ok=True)
 
     tiling_duration = time.perf_counter() - tiling_start
     total_duration = time.perf_counter() - start_time
-    n_pairs = sum(
-        (y1 - y0) * (x1 - x0)
-        for (y0, y1) in y_ranges
-        for (x0, x1) in x_ranges
-        if not (symmetric and x0 > y0)
-    )
-    per_vdot = [t / max(1, n_pairs // max(1, len(vdot_time))) for t in vdot_time]
+    # Per-vdot estimate from each tile's OWN pair count (edge tiles are
+    # smaller than `tile` x `tile`; dividing by the average pair count would
+    # misattribute their time).
+    per_vdot = [t / p for t, p in zip(vdot_time, tile_pairs)]
     profiling["kernel_mat_time"] = [tiling_duration, "seconds"]
     profiling["total_time"] = [total_duration, "seconds"]
     profiling["r0_product"] = [sum(vdot_time), "seconds"]

@@ -133,7 +133,18 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
     Segments are padded to a multiple of ``chunk_len`` with neutral ops
     (identity gate at the current canonical center, center unmoved), which
     are exact no-ops for the state.
+
+    The built simulator is cached on the schedule object keyed by
+    ``(cfg, chunk_len)`` so repeated calls (train Gram, then test Gram)
+    reuse the same jitted closures instead of re-tracing.
     """
+    cache = getattr(schedule, "_sim_cache", None)
+    if cache is None:
+        cache = {}
+        schedule._sim_cache = cache
+    cache_key = (cfg, chunk_len)
+    if cache_key in cache:
+        return cache[cache_key]
     n = schedule.num_qubits
     rdt = cfg.real_dtype
     gamma = schedule.gamma
@@ -205,6 +216,7 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
                 )
         return state
 
+    cache[cache_key] = simulate
     return simulate
 
 

@@ -189,7 +189,13 @@ def qr_orth(v: Cpx) -> Cpx:
 
 
 def cholesky_qr(v: Cpx, ridge: float | None = None, equilibrate: bool = True) -> Cpx:
-    """Orthonormalize the columns of ``v [m, k]`` via CholeskyQR:
+    """EXPERIMENTAL — not on the production path. The engine's
+    orthonormalizations (ops/svd.py subspace iteration, ops/mps.move_center)
+    use Householder :func:`qr` instead: a ridged CholeskyQR at f32 measurably
+    loses weak singular directions (bench fidelity 0.99910 vs 0.99993).
+    Kept as the matmul-only candidate for a fused Pallas orthonormalization.
+
+    Orthonormalize the columns of ``v [m, k]`` via CholeskyQR:
     G = v^H v, L = chol(G + ridge I), Q = v L^{-H} — all real linear algebra
     through the interleaved embedding (see :func:`embed_interleaved`).
 

@@ -137,7 +137,8 @@ def apply_2site(mps: MPS, site, u4: Cpx, cfg: SimConfig, direction=None) -> MPS:
 
 def move_center(mps: MPS, site, direction, cfg: SimConfig) -> MPS:
     """Move the orthogonality center across bond ``(site, site+1)`` with a
-    single-site CholeskyQR2 — exact (no truncation possible: ranks are
+    single-site Householder QR (cpx.qr, through the interleaved real
+    embedding) — exact (no truncation possible: ranks are
     unchanged) and far cheaper than a two-site update. ``direction == 0``
     (DIR_R) leaves the center at ``site+1``; ``direction == 1`` (DIR_L) at
     ``site``. A move in the direction the center already sits is an exact

@@ -133,7 +133,9 @@ def pallas_tile_supported(chi: int) -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         return False
-    return chi % 128 == 0 and platform != "cpu"
+    # Mosaic/TPU-only: the kernel uses pltpu.VMEM scratch and TPU DMA
+    # primitives, so a GPU backend must NOT take this path.
+    return chi % 128 == 0 and platform == "tpu"
 
 
 def tile_overlaps_sq_padded(ay: Cpx, ax: Cpx, block_y: int = 4, block_x: int = 8):

@@ -212,16 +212,30 @@ def build_kernel_matrix_sharded(
     per_circ = sim_time / max(1, n_sim) * ndev
     profiling["avg_circ_sim"] = [per_circ, "seconds"]
     # Batched execution exposes only aggregate wall-clock; the distribution
-    # stats of the reference schema (C15) degenerate to the mean.
+    # stats of the reference schema (C15) degenerate to the mean. Flagged
+    # explicitly so downstream readers don't mistake them for quartiles.
     profiling["median_circ_sim"] = [per_circ, "seconds"]
     profiling["q1_circ_sim"] = [per_circ, "seconds"]
     profiling["q3_circ_sim"] = [per_circ, "seconds"]
+    profiling["stats_semantics"] = [
+        "batched execution: circ_sim/product median/q1/q3 are per-batch means,"
+        " not distribution quartiles",
+        "",
+    ]
 
     chi_x = np.asarray(jnp.max(out_x.bond_dims, axis=-1))[:len_x]
-    fid = np.asarray(out_x.fidelity)[:len_x]
-    profiling["avg_fidelity"] = [float(np.mean(fid)), ""]
+    fid_x = np.asarray(out_x.fidelity)[:len_x]
+    if symmetric:
+        chi_y, fid_y = chi_x, np.zeros((0,))
+    else:
+        # The reference averages X and Y fidelities together and reports the
+        # chi stats separately (gpu_backend/kernel_state_ansatz.py:296-316).
+        chi_y = np.asarray(jnp.max(out_y.bond_dims, axis=-1))[:len_y]
+        fid_y = np.asarray(out_y.fidelity)[:len_y]
+    profiling["avg_fidelity"] = [float(np.mean(np.concatenate([fid_x, fid_y]))), ""]
     profiling["ave max chi x"] = (float(np.mean(chi_x)), "chi x")
-    profiling["ave max chi y"] = (float(np.mean(chi_x)), "chi y")
+    profiling["ave max chi y"] = (float(np.mean(chi_y)), "chi y")
+    profiling["chi"] = [cfg.chi, "bond cap"]
 
     from qml_cutensornet_tpu.models.gram import _actual_mps_bytes
 

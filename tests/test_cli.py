@@ -109,3 +109,23 @@ def test_bad_argv_raises(workdir):
         main.main(["prog", "XPU", "4", "1", "0.5", "1", "30", "30", "3", "x.csv"])
     with pytest.raises(ValueError):
         main.main(["prog", "TPU", "4"])
+
+
+def test_chi_auto(workdir):
+    """QMLTPU_CHI=auto probes with utils/autotune.choose_chi, the run
+    completes, and the chosen chi lands in the profiling JSON."""
+    os.environ["QMLTPU_CHI"] = "auto"
+    os.environ["QMLTPU_AUTO_CHI_MAX"] = "16"
+    try:
+        main_no_test.main(["prog", "TPU", "4", "1", "0.5", "2", "10", "10", "7", "elliptic_preproc.csv"])
+    finally:
+        os.environ.pop("QMLTPU_CHI")
+        os.environ.pop("QMLTPU_AUTO_CHI_MAX")
+    info = "train_Nf4_r1_g0.5_p0.0_nn2_mslinear_Ntr10_s7_elliptic_preproc"
+    prof = json.load(open(f"{info}.json"))
+    assert prof["chi"][0] in (8, 16)
+    # f32 fidelity tracking carries ~1e-7 stat roundoff even with zero
+    # truncation (the kept-fraction product is accumulated in f32).
+    assert prof["avg_fidelity"][0] > 1 - 1e-6
+    ktr = np.load(f"kernels/{info}.npy")
+    np.testing.assert_allclose(np.diag(ktr), 1.0, atol=1e-6)
