@@ -120,7 +120,8 @@ def build_kernel_matrix(
         from qml_cutensornet_tpu.parallel.gram import build_kernel_matrix_sharded
 
         return build_kernel_matrix_sharded(
-            ansatz, X, Y, info_file=info_file, cfg=cfg, mesh=mesh, loglevel=loglevel
+            ansatz, X, Y, info_file=info_file, cfg=cfg, mesh=mesh, loglevel=loglevel,
+            checkpoint=checkpoint, checkpoint_dir=checkpoint_dir,
         )
 
     schedule = ansatz.schedule

@@ -120,7 +120,9 @@ def _op_stream_scan(state: MPS, sites, gkinds, dirs, thetas, cfg: SimConfig):
     return state
 
 
-def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128):
+def make_chunked_simulator(
+    schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
+):
     """Chunked batched simulator: ``features [B, n] -> MPS`` via a host loop
     over fixed-length op chunks.
 
@@ -134,15 +136,22 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
     (identity gate at the current canonical center, center unmoved), which
     are exact no-ops for the state.
 
+    ``mesh``: optional 1-D ``jax.sharding.Mesh``. When given, the batch
+    axis of every array (features, per-sample angles, the evolving MPS) is
+    sharded over the mesh and each chunk dispatch is one SPMD program —
+    the distributed path (parallel/gram.py) gets the same bounded
+    per-dispatch duration as the single-device path. ``B`` must then be a
+    multiple of the device count.
+
     The built simulator is cached on the schedule object keyed by
-    ``(cfg, chunk_len)`` so repeated calls (train Gram, then test Gram)
-    reuse the same jitted closures instead of re-tracing.
+    ``(cfg, chunk_len, mesh)`` so repeated calls (train Gram, then test
+    Gram) reuse the same jitted closures instead of re-tracing.
     """
     cache = getattr(schedule, "_sim_cache", None)
     if cache is None:
         cache = {}
         schedule._sim_cache = cache
-    cache_key = (cfg, chunk_len)
+    cache_key = (cfg, chunk_len, mesh)
     if cache_key in cache:
         return cache[cache_key]
     n = schedule.num_qubits
@@ -170,6 +179,22 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
             sites = gk = dirs = fa = fb = np.zeros((0,), np.int32)
         segs.append((seg.pos_to_feature, sites, gk, dirs, fa, fb, n_chunks))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from qml_cutensornet_tpu.parallel.mesh import AXIS
+
+        batch_sharding = NamedSharding(mesh, P(AXIS))
+        row_sharding = NamedSharding(mesh, P(AXIS, None))
+        repl_sharding = NamedSharding(mesh, P())
+        constrain = lambda st: jax.lax.with_sharding_constraint(st, batch_sharding)
+        put_rows = lambda a: jax.device_put(a, row_sharding)
+        put_repl = lambda a: jax.device_put(a, repl_sharding)
+    else:
+        constrain = lambda st: st
+        put_rows = jnp.asarray
+        put_repl = jnp.asarray
+
     @jax.jit
     def init_batch(features):
         with jax.default_matmul_precision(cfg.matmul_precision):
@@ -179,7 +204,7 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
                     st = mps_ops.apply_1q_all(st, gates.hadamard(rdt))
                 return st
 
-            return jax.vmap(one)(features[:, 0])
+            return constrain(jax.vmap(one)(features[:, 0]))
 
     @jax.jit
     def rz_batch(state, xs_at_pos):
@@ -187,20 +212,22 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
             def one(st, xp):
                 return mps_ops.apply_diag_all(st, gates.rz_phases(gamma * xp, rdt))
 
-            return jax.vmap(one)(state, xs_at_pos)
+            return constrain(jax.vmap(one)(state, xs_at_pos))
 
     @jax.jit
     def chunk_batch(state, sites, gkinds, dirs, thetas):
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return jax.vmap(
-                lambda st, th: _op_stream_scan(st, sites, gkinds, dirs, th, cfg)
-            )(state, thetas)
+            return constrain(
+                jax.vmap(
+                    lambda st, th: _op_stream_scan(st, sites, gkinds, dirs, th, cfg)
+                )(state, thetas)
+            )
 
     def simulate(features) -> MPS:
         x = np.asarray(features, dtype=np.float64)
-        state = init_batch(jnp.asarray(x, rdt))
+        state = init_batch(put_rows(x.astype(np.dtype(rdt))))
         for (pos_to_feature, sites, gk, dirs, fa, fb, n_chunks) in segs:
-            state = rz_batch(state, jnp.asarray(x[:, pos_to_feature], rdt))
+            state = rz_batch(state, put_rows(x[:, pos_to_feature].astype(np.dtype(rdt))))
             if n_chunks == 0:
                 continue
             thetas = (0.5 * np.pi * gamma * gamma * (1.0 - x[:, fa]) * (1.0 - x[:, fb]))
@@ -209,10 +236,10 @@ def make_chunked_simulator(schedule: GateSchedule, cfg: SimConfig, chunk_len: in
                 sl = slice(c * chunk_len, (c + 1) * chunk_len)
                 state = chunk_batch(
                     state,
-                    jnp.asarray(sites[sl]),
-                    jnp.asarray(gk[sl]),
-                    jnp.asarray(dirs[sl]),
-                    jnp.asarray(thetas[:, sl]),
+                    put_repl(sites[sl]),
+                    put_repl(gk[sl]),
+                    put_repl(dirs[sl]),
+                    put_rows(np.ascontiguousarray(thetas[:, sl])),
                 )
         return state
 

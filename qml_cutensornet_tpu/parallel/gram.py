@@ -24,6 +24,8 @@ matrices (gpu:427-428)                   | by the out_sharding — no reduce
 from __future__ import annotations
 
 import json
+import os
+import pathlib
 import time
 
 
@@ -34,7 +36,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from qml_cutensornet_tpu.config import SimConfig
-from qml_cutensornet_tpu.models.simulate import make_batched_simulator
+from qml_cutensornet_tpu.models.simulate import make_chunked_simulator
 from qml_cutensornet_tpu.ops import cpx
 from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.parallel.mesh import AXIS
@@ -161,6 +163,75 @@ def make_ring_gram(mesh, n_iters: int, symmetric: bool, len_y_pad: int, precisio
     return run
 
 
+def make_ring_steps(mesh, n_iters: int, symmetric: bool, precision: str):
+    """Stepwise variant of :func:`make_ring_gram`: one jitted shard_map
+    program PER RING ITERATION, driven by a host loop.
+
+    Why: at scale one fused ring program runs for minutes — long device
+    programs trip RPC watchdogs on tunneled TPU backends (same reason the
+    simulator is chunked, models/simulate.make_chunked_simulator), and a
+    single program cannot checkpoint. Each step takes and returns the
+    rotated Y blocks and the per-device column stripes of K, so the host
+    can snapshot K between iterations (the distributed analog of the
+    reference CPU backend's per-tile checkpoint, cpu:279-282).
+
+    Returns ``step(i, ax, ay_cur, k) -> (ay_next, k)`` where ``k`` is the
+    global ``[len_y_pad, len_x_pad]`` array sharded as column stripes
+    ``P(None, AXIS)``. In the symmetric case the mirror ppermute
+    permutation depends statically on ``i``, so programs are cached per
+    iteration index (n_iters tiny programs, each reused across calls).
+    """
+    ndev = mesh.devices.size
+    fwd_perm = [(d, (d - 1) % ndev) for d in range(ndev)]
+    cache: dict = {}
+
+    def build(i: int):
+        def body(ax, ay_cur, k_local):
+            idx = lax.axis_index(AXIS)
+            byl = ay_cur.re.shape[0]
+            block = _block_overlaps(ay_cur, ax)  # [Byl, Bxl]
+            y_block = (idx + i) % ndev
+            k_local = lax.dynamic_update_slice(
+                k_local, block.astype(k_local.dtype), (jnp.int32(y_block * byl), jnp.int32(0))
+            )
+            if symmetric:
+                do_mirror = (i > 0) and not (ndev % 2 == 0 and i == n_iters - 1)
+                if do_mirror:
+                    mirror = jnp.swapaxes(block, 0, 1)
+                    perm_i = [(d, (d + i) % ndev) for d in range(ndev)]
+                    recv = lax.ppermute(mirror, AXIS, perm_i)
+                    src_y_block = (idx - i) % ndev
+                    k_local = lax.dynamic_update_slice(
+                        k_local,
+                        recv.astype(k_local.dtype),
+                        (jnp.int32(src_y_block * byl), jnp.int32(0)),
+                    )
+            if i + 1 < n_iters:
+                ay_next = cpx.tmap(lambda t: lax.ppermute(t, AXIS, fwd_perm), ay_cur)
+            else:
+                ay_next = ay_cur
+            return ay_next, k_local
+
+        @jax.jit
+        def run(ax_global: Cpx, ay_global: Cpx, k_global):
+            with jax.default_matmul_precision(precision):
+                return jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(Cpx(P(AXIS), P(AXIS)), Cpx(P(AXIS), P(AXIS)), P(None, AXIS)),
+                    out_specs=(Cpx(P(AXIS), P(AXIS)), P(None, AXIS)),
+                )(ax_global, ay_global, k_global)
+
+        return run
+
+    def step(i: int, ax, ay_cur, k):
+        if i not in cache:
+            cache[i] = build(i)
+        return cache[i](ax, ay_cur, k)
+
+    return step
+
+
 def build_kernel_matrix_sharded(
     ansatz,
     X,
@@ -169,9 +240,19 @@ def build_kernel_matrix_sharded(
     cfg: SimConfig | None = None,
     mesh=None,
     loglevel: int = 30,
+    checkpoint: bool = False,
+    checkpoint_dir: str = "tmp",
 ) -> np.ndarray:
     """Distributed equivalent of models/gram.build_kernel_matrix over a
-    1-D mesh. Returns the [lenY, lenX] kernel on the host."""
+    1-D mesh. Returns the [lenY, lenX] kernel on the host.
+
+    Simulation is chunked (one bounded SPMD dispatch per op chunk,
+    models/simulate.make_chunked_simulator with ``mesh``) and the Gram ring
+    runs one jitted program per iteration (``QMLTPU_RING=fused`` restores
+    the single-program ring). With ``checkpoint=True`` and an
+    ``info_file``, the assembled stripes are snapshotted after each ring
+    iteration and a restarted build resumes from the last completed one.
+    """
     assert mesh is not None
     cfg = cfg or SimConfig()
     schedule = ansatz.schedule
@@ -195,17 +276,16 @@ def build_kernel_matrix_sharded(
     y_pad, _ = _pad_rows(Yarr, ndev)
     len_y_padded = y_pad.shape[0]
 
-    sim = make_batched_simulator(schedule, cfg)
-    batch_sharding = NamedSharding(mesh, P(AXIS, None))
+    # Chunked SPMD simulation: bounded per-dispatch duration (tunneled TPU
+    # watchdogs) with the batch axis sharded over the mesh.
+    sim = make_chunked_simulator(schedule, cfg, mesh=mesh)
 
     t0 = time.perf_counter()
-    xs = jax.device_put(x_pad.astype(np.dtype(cfg.real_dtype)), batch_sharding)
-    out_x = jax.block_until_ready(sim(xs))
+    out_x = jax.block_until_ready(sim(x_pad))
     if symmetric:
         out_y = out_x
     else:
-        ys = jax.device_put(y_pad.astype(np.dtype(cfg.real_dtype)), batch_sharding)
-        out_y = jax.block_until_ready(sim(ys))
+        out_y = jax.block_until_ready(sim(y_pad))
     sim_time = time.perf_counter() - t0
     profiling["r0_circ_sim"] = [sim_time, "seconds"]
     n_sim = x_pad.shape[0] + (0 if symmetric else y_pad.shape[0])
@@ -248,11 +328,62 @@ def build_kernel_matrix_sharded(
         print(f"[mesh:{ndev}] simulated {n_sim} MPS in {sim_time:.3f}s")
 
     n_iters = (ndev // 2) + 1 if symmetric else ndev
-    ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.matmul_precision)
+    ring_mode = os.environ.get("QMLTPU_RING", "stepwise")
 
     t0 = time.perf_counter()
-    k = ring(out_x.tensors, out_y.tensors)
-    k = np.asarray(jax.block_until_ready(k))
+    if ring_mode == "fused":
+        ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.matmul_precision)
+        k = ring(out_x.tensors, out_y.tensors)
+        k = np.asarray(jax.block_until_ready(k))
+    else:
+        step = make_ring_steps(mesh, n_iters, symmetric, cfg.matmul_precision)
+        stripe_sharding = NamedSharding(mesh, P(None, AXIS))
+        len_x_padded = x_pad.shape[0]
+
+        ckpt_file = None
+        start_iter = 0
+        k_host = np.zeros((len_y_padded, len_x_padded), dtype=np.dtype(cfg.real_dtype))
+        if checkpoint and info_file is not None:
+            pathlib.Path(checkpoint_dir).mkdir(exist_ok=True)
+            ckpt_file = (
+                pathlib.Path(checkpoint_dir)
+                / f"checkpoint_ring_{pathlib.Path(info_file).name}.npz"
+            )
+            if ckpt_file.is_file():
+                saved = np.load(ckpt_file)
+                if saved["k"].shape == k_host.shape:
+                    k_host = saved["k"].astype(k_host.dtype)
+                    start_iter = int(saved["next_iter"])
+                    if verbose:
+                        print(f"[mesh:{ndev}] ring resumed at iteration {start_iter}")
+
+        k_dev = jax.device_put(k_host, stripe_sharding)
+        ay_cur = out_y.tensors
+        # Fast-forward the Y ring to the resume point (ppermute is exact and
+        # cheap relative to the skipped tile contractions).
+        fwd_perm = [(d, (d - 1) % ndev) for d in range(ndev)]
+
+        @jax.jit
+        def rotate(ay):
+            return jax.shard_map(
+                lambda a: cpx.tmap(lambda t: lax.ppermute(t, AXIS, fwd_perm), a),
+                mesh=mesh,
+                in_specs=(Cpx(P(AXIS), P(AXIS)),),
+                out_specs=Cpx(P(AXIS), P(AXIS)),
+            )(ay)
+
+        for _ in range(start_iter):
+            ay_cur = rotate(ay_cur)
+        for i in range(start_iter, n_iters):
+            ay_cur, k_dev = step(i, out_x.tensors, ay_cur, k_dev)
+            if ckpt_file is not None:
+                k_snap = np.asarray(jax.block_until_ready(k_dev))
+                tmp = ckpt_file.with_suffix(".tmp.npz")
+                np.savez(tmp, k=k_snap, next_iter=i + 1)
+                tmp.replace(ckpt_file)
+        k = np.asarray(jax.block_until_ready(k_dev))
+        if ckpt_file is not None:
+            ckpt_file.unlink(missing_ok=True)
     gram_time = time.perf_counter() - t0
     profiling["kernel_mat_time"] = [gram_time, "seconds"]
     profiling["r0_product"] = [gram_time, "seconds"]

@@ -50,3 +50,58 @@ def test_mesh_entry_point_via_build_kernel_matrix(setup):
     mesh = make_mesh(4)
     K = q.build_kernel_matrix(ansatz, X, truncation_error=1e-16, cfg=cfg, mesh=mesh)
     np.testing.assert_allclose(K, K_ref, atol=1e-10)
+
+
+def test_fused_ring_matches_stepwise(setup, monkeypatch):
+    """QMLTPU_RING=fused (one ring program) and the default stepwise loop
+    must produce identical kernels."""
+    ansatz, cfg, X, Y, K_ref, K_xy_ref = setup
+    mesh = make_mesh(4)
+    monkeypatch.setenv("QMLTPU_RING", "fused")
+    K = build_kernel_matrix_sharded(ansatz, X, cfg=cfg, mesh=mesh)
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
+    K_xy = build_kernel_matrix_sharded(ansatz, X, Y=Y, cfg=cfg, mesh=mesh)
+    np.testing.assert_allclose(K_xy, K_xy_ref, atol=1e-10)
+
+
+def test_ring_checkpoint_resume(setup, tmp_path):
+    """A ring build interrupted after iteration 0 must resume from the
+    snapshot and complete correctly (distributed analog of the reference
+    CPU backend's per-tile checkpoint, cpu:279-282)."""
+    ansatz, cfg, X, _, K_ref, _ = setup
+    mesh = make_mesh(4)
+    info = tmp_path / "ring_ckpt_test"
+    ckdir = str(tmp_path / "tmp")
+
+    # Write the snapshot a run would leave after completing iteration 0
+    # (run the real step once), then let the full build resume from it.
+    import pathlib
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qml_cutensornet_tpu.models.simulate import make_chunked_simulator
+    from qml_cutensornet_tpu.parallel import gram as pgram
+    from qml_cutensornet_tpu.parallel.mesh import AXIS
+
+    real_step_factory = pgram.make_ring_steps
+    x_pad, _ = pgram._pad_rows(np.asarray(X, dtype=np.float64), 4)
+    sim = make_chunked_simulator(ansatz.schedule, cfg, mesh=mesh)
+    out = sim(x_pad)
+    step = real_step_factory(mesh, 4 // 2 + 1, True, cfg.matmul_precision)
+    k0 = jax.device_put(
+        np.zeros((x_pad.shape[0], x_pad.shape[0]), dtype=np.dtype(cfg.real_dtype)),
+        NamedSharding(mesh, P(None, AXIS)),
+    )
+    ay1, k1 = step(0, out.tensors, out.tensors, k0)
+    ck = pathlib.Path(ckdir)
+    ck.mkdir(exist_ok=True)
+    np.savez(ck / f"checkpoint_ring_{info.name}.npz",
+             k=np.asarray(k1), next_iter=1)
+
+    K = build_kernel_matrix_sharded(
+        ansatz, X, cfg=cfg, mesh=mesh, info_file=str(info),
+        checkpoint=True, checkpoint_dir=ckdir,
+    )
+    np.testing.assert_allclose(K, K_ref, atol=1e-10)
+    assert not (ck / f"checkpoint_ring_{info.name}.npz").is_file()
