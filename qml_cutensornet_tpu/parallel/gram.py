@@ -39,7 +39,7 @@ from qml_cutensornet_tpu.config import SimConfig
 from qml_cutensornet_tpu.models.simulate import make_chunked_simulator
 from qml_cutensornet_tpu.ops import cpx
 from qml_cutensornet_tpu.ops.cpx import Cpx
-from qml_cutensornet_tpu.parallel.mesh import AXIS
+from qml_cutensornet_tpu.parallel.mesh import AXIS, process_index, to_host
 
 
 def _pad_rows(arr: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
@@ -303,15 +303,15 @@ def build_kernel_matrix_sharded(
         "",
     ]
 
-    chi_x = np.asarray(jnp.max(out_x.bond_dims, axis=-1))[:len_x]
-    fid_x = np.asarray(out_x.fidelity)[:len_x]
+    chi_x = to_host(jnp.max(out_x.bond_dims, axis=-1))[:len_x]
+    fid_x = to_host(out_x.fidelity)[:len_x]
     if symmetric:
         chi_y, fid_y = chi_x, np.zeros((0,))
     else:
         # The reference averages X and Y fidelities together and reports the
         # chi stats separately (gpu_backend/kernel_state_ansatz.py:296-316).
-        chi_y = np.asarray(jnp.max(out_y.bond_dims, axis=-1))[:len_y]
-        fid_y = np.asarray(out_y.fidelity)[:len_y]
+        chi_y = to_host(jnp.max(out_y.bond_dims, axis=-1))[:len_y]
+        fid_y = to_host(out_y.fidelity)[:len_y]
     profiling["avg_fidelity"] = [float(np.mean(np.concatenate([fid_x, fid_y]))), ""]
     profiling["ave max chi x"] = (float(np.mean(chi_x)), "chi x")
     profiling["ave max chi y"] = (float(np.mean(chi_y)), "chi y")
@@ -334,7 +334,7 @@ def build_kernel_matrix_sharded(
     if ring_mode == "fused":
         ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.matmul_precision)
         k = ring(out_x.tensors, out_y.tensors)
-        k = np.asarray(jax.block_until_ready(k))
+        k = to_host(jax.block_until_ready(k))
     else:
         step = make_ring_steps(mesh, n_iters, symmetric, cfg.matmul_precision)
         stripe_sharding = NamedSharding(mesh, P(None, AXIS))
@@ -377,12 +377,13 @@ def build_kernel_matrix_sharded(
         for i in range(start_iter, n_iters):
             ay_cur, k_dev = step(i, out_x.tensors, ay_cur, k_dev)
             if ckpt_file is not None:
-                k_snap = np.asarray(jax.block_until_ready(k_dev))
-                tmp = ckpt_file.with_suffix(".tmp.npz")
-                np.savez(tmp, k=k_snap, next_iter=i + 1)
-                tmp.replace(ckpt_file)
-        k = np.asarray(jax.block_until_ready(k_dev))
-        if ckpt_file is not None:
+                k_snap = to_host(jax.block_until_ready(k_dev))
+                if process_index() == 0:
+                    tmp = ckpt_file.with_suffix(".tmp.npz")
+                    np.savez(tmp, k=k_snap, next_iter=i + 1)
+                    tmp.replace(ckpt_file)
+        k = to_host(jax.block_until_ready(k_dev))
+        if ckpt_file is not None and process_index() == 0:
             ckpt_file.unlink(missing_ok=True)
     gram_time = time.perf_counter() - t0
     profiling["kernel_mat_time"] = [gram_time, "seconds"]
