@@ -205,7 +205,10 @@ def build_kernel_matrix(
     # scan); requires lane-aligned chi and full f32 precision semantics.
     from qml_cutensornet_tpu.ops.pallas_tile import pallas_tile_supported
 
-    use_pallas = pallas_tile_supported(cfg.chi) and cfg.matmul_precision == "highest"
+    # Gate on the ACTUAL working chi: the staged-chi simulator may return
+    # tensors padded below cfg.chi for low-entanglement schedules.
+    chi_run = int(ax.re.shape[2])
+    use_pallas = pallas_tile_supported(chi_run) and cfg.matmul_precision == "highest"
     for (y0, y1) in y_ranges:
         for (x0, x1) in x_ranges:
             if symmetric and x0 > y0:

@@ -10,6 +10,9 @@ what keeps the MXU busy.
 
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,11 +150,12 @@ def make_chunked_simulator(
     ``(cfg, chunk_len, mesh)`` so repeated calls (train Gram, then test
     Gram) reuse the same jitted closures instead of re-tracing.
     """
+    staged = os.environ.get("QMLTPU_STAGED", "1") != "0"
     cache = getattr(schedule, "_sim_cache", None)
     if cache is None:
         cache = {}
         schedule._sim_cache = cache
-    cache_key = (cfg, chunk_len, mesh)
+    cache_key = (cfg, chunk_len, mesh, staged)
     if cache_key in cache:
         return cache[cache_key]
     n = schedule.num_qubits
@@ -179,6 +183,46 @@ def make_chunked_simulator(
             sites = gk = dirs = fa = fb = np.zeros((0,), np.int32)
         segs.append((seg.pos_to_feature, sites, gk, dirs, fa, fb, n_chunks))
 
+    # --- Staged chi: structural bond-dimension upper bounds per chunk. ---
+    # A two-site update across bond s can at most double it, bounded by the
+    # position-cut dimension min(2^(s+1), 2^(n-s-1)) and the cap. Bounds are
+    # monotone along the stream, so running each chunk at the smallest
+    # power-of-two chi that holds its end-of-chunk bound is EXACTLY
+    # equivalent to running everything at cfg.chi (no truncation can occur
+    # below the structural bound), while the early ramp-up — and the whole
+    # program, for low-entanglement schedules — runs at much smaller shapes.
+    chunk_chis: list[list[int]] = []
+    if staged:
+        floor_chi = min(8, cfg.chi)
+        bd = np.ones(max(n - 1, 1), dtype=np.float64)
+        cut = np.array(
+            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
+        )
+        for (_, sites, gk, _, _, _, n_chunks) in segs:
+            stages = []
+            for c in range(n_chunks):
+                for i in range(c * chunk_len, (c + 1) * chunk_len):
+                    if gk[i] == GATE_I:
+                        continue
+                    s = int(sites[i])
+                    lb = bd[s - 1] if s > 0 else 1.0
+                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
+                    bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
+                bound = int(bd.max())
+                stage = floor_chi
+                while stage < bound:
+                    stage *= 2
+                stages.append(min(stage, cfg.chi))
+            chunk_chis.append(stages)
+    else:
+        chunk_chis = [[cfg.chi] * nc for (_, _, _, _, _, _, nc) in segs]
+    final_chi = cfg.chi
+    for stages in chunk_chis:
+        for s in stages:
+            final_chi = s  # last assigned stage is the final working chi
+    if not any(len(st) for st in chunk_chis):
+        final_chi = min(8, cfg.chi) if staged else cfg.chi
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -195,46 +239,80 @@ def make_chunked_simulator(
         put_rows = jnp.asarray
         put_repl = jnp.asarray
 
-    @jax.jit
-    def init_batch(features):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            def one(_):
-                st = mps_ops.zero_state(n, cfg)
-                if schedule.hadamard_init:
-                    st = mps_ops.apply_1q_all(st, gates.hadamard(rdt))
-                return st
+    fns: dict = {}
 
-            return constrain(jax.vmap(one)(features[:, 0]))
+    def fns_for(chi_s: int):
+        """Jitted (init, rz, chunk) closures for one stage chi (built lazily,
+        one compile per distinct stage size, reused across chunks/calls)."""
+        if chi_s in fns:
+            return fns[chi_s]
+        cfg_s = dataclasses.replace(cfg, chi=chi_s)
 
-    @jax.jit
-    def rz_batch(state, xs_at_pos):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            def one(st, xp):
-                return mps_ops.apply_diag_all(st, gates.rz_phases(gamma * xp, rdt))
+        @jax.jit
+        def init_batch(features):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                def one(_):
+                    st = mps_ops.zero_state(n, cfg_s)
+                    if schedule.hadamard_init:
+                        st = mps_ops.apply_1q_all(st, gates.hadamard(rdt))
+                    return st
 
-            return constrain(jax.vmap(one)(state, xs_at_pos))
+                return constrain(jax.vmap(one)(features[:, 0]))
 
-    @jax.jit
-    def chunk_batch(state, sites, gkinds, dirs, thetas):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return constrain(
-                jax.vmap(
-                    lambda st, th: _op_stream_scan(st, sites, gkinds, dirs, th, cfg)
-                )(state, thetas)
+        @jax.jit
+        def rz_batch(state, xs_at_pos):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                def one(st, xp):
+                    return mps_ops.apply_diag_all(st, gates.rz_phases(gamma * xp, rdt))
+
+                return constrain(jax.vmap(one)(state, xs_at_pos))
+
+        @jax.jit
+        def chunk_batch(state, sites, gkinds, dirs, thetas):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return constrain(
+                    jax.vmap(
+                        lambda st, th: _op_stream_scan(st, sites, gkinds, dirs, th, cfg_s)
+                    )(state, thetas)
+                )
+
+        @jax.jit
+        def pad_to(state):
+            # Grow the bond padding to THIS stage's chi with exact zeros
+            # (the padding invariant keeps contractions unchanged).
+            old = state.tensors.re.shape[-1]
+            pw = ((0, 0),) * (state.tensors.re.ndim - 3) + (
+                (0, chi_s - old), (0, 0), (0, chi_s - old),
             )
+            t = cpx.tmap(lambda a: jnp.pad(a, pw), state.tensors)
+            return constrain(state._replace(tensors=t))
+
+        fns[chi_s] = (init_batch, rz_batch, chunk_batch, pad_to)
+        return fns[chi_s]
 
     def simulate(features) -> MPS:
         x = np.asarray(features, dtype=np.float64)
-        state = init_batch(put_rows(x.astype(np.dtype(rdt))))
-        for (pos_to_feature, sites, gk, dirs, fa, fb, n_chunks) in segs:
-            state = rz_batch(state, put_rows(x[:, pos_to_feature].astype(np.dtype(rdt))))
+        first_chi = next(
+            (st[0] for st in chunk_chis if st), final_chi
+        )
+        cur_chi = first_chi
+        state = fns_for(cur_chi)[0](put_rows(x.astype(np.dtype(rdt))))
+        for (pos_to_feature, sites, gk, dirs, fa, fb, n_chunks), stages in zip(
+            segs, chunk_chis
+        ):
+            state = fns_for(cur_chi)[1](
+                state, put_rows(x[:, pos_to_feature].astype(np.dtype(rdt)))
+            )
             if n_chunks == 0:
                 continue
             thetas = (0.5 * np.pi * gamma * gamma * (1.0 - x[:, fa]) * (1.0 - x[:, fb]))
             thetas = thetas.astype(np.dtype(rdt))
             for c in range(n_chunks):
+                if stages[c] > cur_chi:
+                    cur_chi = stages[c]
+                    state = fns_for(cur_chi)[3](state)
                 sl = slice(c * chunk_len, (c + 1) * chunk_len)
-                state = chunk_batch(
+                state = fns_for(cur_chi)[2](
                     state,
                     put_repl(sites[sl]),
                     put_repl(gk[sl]),
@@ -243,6 +321,7 @@ def make_chunked_simulator(
                 )
         return state
 
+    simulate.final_chi = final_chi
     cache[cache_key] = simulate
     return simulate
 
@@ -265,6 +344,15 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
     """
     By = ay.re.shape[0]
     Bx, chi = ax.re.shape[0], ax.re.shape[2]
+    if ay.re.shape[2] != chi:
+        # Staged-chi simulators may return different paddings for different
+        # schedules; grow the smaller side with exact zeros (no-op padding).
+        chi = max(chi, ay.re.shape[2])
+        grow = lambda t: jnp.pad(
+            t, ((0, 0), (0, 0), (0, chi - t.shape[2]), (0, 0), (0, chi - t.shape[4]))
+        )
+        ay = cpx.tmap(grow, ay)
+        ax = cpx.tmap(grow, ax)
     with jax.default_matmul_precision(precision):
         m0re = jnp.zeros((By, Bx, chi, chi), dtype=ax.re.dtype).at[:, :, 0, 0].set(1.0)
         m0 = Cpx(m0re, jnp.zeros_like(m0re))
