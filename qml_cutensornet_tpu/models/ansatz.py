@@ -56,6 +56,7 @@ import numpy as np
 GATE_I = 0  # identity two-site op (canonical-center move)
 GATE_SWAP = 1
 GATE_XX = 2
+GATE_XXSW = 3  # fused XXPhase @ SWAP (= SWAP @ XXPhase; XX is exchange-symmetric)
 
 # Placement of the orthogonality center after a two-site update.
 DIR_R = 0  # center ends at site+1
@@ -139,6 +140,38 @@ def _raw_tracked(num_qubits, reps, entanglement_map):
     return streams, pos_maps, pos.astype(np.int32)
 
 
+def _fuse_stream(stream):
+    """Peephole fusion over one raw rep stream: consecutive two-site ops on
+    the SAME adjacent pair collapse —
+
+    - XXPhase then SWAP (or SWAP then XXPhase) -> one fused GATE_XXSW
+      (valid in either order: XXPhase is symmetric under qubit exchange,
+      so XX @ SWAP == SWAP @ XX; gates.xxphase_swap);
+    - SWAP then SWAP -> identity, both dropped.
+
+    Each fusion removes one truncated two-site update (its QR/SVD and its
+    truncation event) at zero accuracy cost. The tracked router's
+    position-sorted sweeps emit `XX at p, SWAP at p` constantly (the gate
+    fires and the qubit moves on), so this typically removes ~20% of all
+    two-site ops at d>1.
+    """
+    out = []
+    for op in stream:
+        if out:
+            ps, pk, pfa, pfb = out[-1]
+            s, k, fa, fb = op
+            if ps == s:
+                if {pk, k} == {GATE_XX, GATE_SWAP}:
+                    xfa, xfb = (pfa, pfb) if pk == GATE_XX else (fa, fb)
+                    out[-1] = (s, GATE_XXSW, xfa, xfb)
+                    continue
+                if pk == GATE_SWAP and k == GATE_SWAP:
+                    out.pop()
+                    continue
+        out.append(op)
+    return out
+
+
 def _canonical_lower(streams, pos_maps, num_qubits):
     """Insert canonical-center moves (identity two-site ops) and choose each
     update's placement direction by one-gate lookahead. The center starts
@@ -187,6 +220,7 @@ def build_schedule(
         streams, pos_maps, final_pos = _raw_reference(num_qubits, reps, entanglement_map)
     elif routing == "tracked":
         streams, pos_maps, final_pos = _raw_tracked(num_qubits, reps, entanglement_map)
+        streams = [_fuse_stream(s) for s in streams]
     else:
         raise ValueError(f"Unknown routing mode: {routing}")
     segments = _canonical_lower(streams, pos_maps, num_qubits)

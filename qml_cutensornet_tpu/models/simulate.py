@@ -19,7 +19,7 @@ import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.config import SimConfig
-from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_XX, GateSchedule
+from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_XX, GATE_XXSW, GateSchedule
 from qml_cutensornet_tpu.ops import cpx, gates, mps as mps_ops
 from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.mps import MPS
@@ -40,8 +40,18 @@ def apply_schedule_op(state: MPS, site, gkind, direction, theta, cfg: SimConfig)
     def do_gate(st):
         xx = gates.xxphase(theta, rdt)
         sw = gates.swap(rdt)
+        # One-hot blend over the three gate kinds. The fused XXSW matrix is
+        # xx @ swap, i.e. the XX matrix with columns 1,2 exchanged — built
+        # here by permuting xx's columns instead of a 4x4 matmul.
         w_xx = (gkind == GATE_XX).astype(rdt)
-        mat = Cpx(w_xx * xx.re + (1.0 - w_xx) * sw.re, w_xx * xx.im)
+        w_fu = (gkind == GATE_XXSW).astype(rdt)
+        w_sw = 1.0 - w_xx - w_fu
+        perm = jnp.array([0, 2, 1, 3])
+        fu = cpx.tmap(lambda t: t[:, perm], xx)
+        mat = Cpx(
+            w_xx * xx.re + w_fu * fu.re + w_sw * sw.re,
+            w_xx * xx.im + w_fu * fu.im,
+        )
         return mps_ops.apply_2site(st, site, mat, cfg, direction)
 
     return lax.cond(gkind == GATE_I, do_move, do_gate, state)

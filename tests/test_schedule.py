@@ -10,6 +10,7 @@ from qml_cutensornet_tpu.models.ansatz import (
     GATE_I,
     GATE_SWAP,
     GATE_XX,
+    GATE_XXSW,
     KernelStateAnsatz,
     build_schedule,
 )
@@ -45,8 +46,12 @@ def test_canonical_center_invariant(routing, nq, reps, nn):
                     f"op at {s} with center {center} (routing={routing})"
                 )
             center = s if d == DIR_L else s + 1
-    # and the XX gate multiset matches reps * entanglement map
-    n_xx = sum(int(np.sum(seg.gkinds == GATE_XX)) for seg in sched.segments)
+    # and the XX gate multiset matches reps * entanglement map (fused
+    # XXSW ops carry one XX interaction each)
+    n_xx = sum(
+        int(np.sum((seg.gkinds == GATE_XX) | (seg.gkinds == GATE_XXSW)))
+        for seg in sched.segments
+    )
     assert n_xx == reps * len(entanglement_graph(nq, nn))
 
 
@@ -70,7 +75,7 @@ def test_tracked_rz_position_maps_consistent():
     for seg in sched.segments:
         np.testing.assert_array_equal(seg.pos_to_feature, at)
         for s, gk in zip(seg.sites, seg.gkinds):
-            if int(gk) == GATE_SWAP:
+            if int(gk) in (GATE_SWAP, GATE_XXSW):  # fused op also swaps
                 s = int(s)
                 at[s], at[s + 1] = at[s + 1], at[s]
     # final: qubit q at position final_pos[q]  <=>  at[p] = q
