@@ -164,16 +164,36 @@ def lift_interleaved(e: jnp.ndarray) -> Cpx:
     return Cpx(er[:, 0, :, 0], er[:, 1, :, 0])
 
 
+def _pallas_orth_eligible(v: Cpx) -> bool:
+    from qml_cutensornet_tpu.ops import pallas_qr
+
+    m, k = v.re.shape[-2], v.re.shape[-1]
+    return pallas_qr.pallas_qr_supported(m, k, v.re.dtype)
+
+
 def qr(v: Cpx) -> tuple[Cpx, Cpx]:
-    """Complex reduced QR via REAL Householder QR of the interleaved
-    embedding. The positive-diagonal reduced QR is unique for full-rank
-    input, and the canonical complex factors' embeddings ARE a real QR with
-    positive diagonal — so after normalizing the real factor signs, lifting
-    recovers the complex factors exactly. Backward-stable at any condition
-    number (unlike CholeskyQR). Columns whose R diagonal collapses to ~0
-    (rank deficiency) lift to junk — but their R rows are ~0, so Q @ R still
+    """Complex reduced "QR": ``v = q @ r`` with ``q`` column-orthonormal.
+
+    On the TPU f32 path this routes to the Pallas BCGS2 kernel
+    (ops/pallas_qr.py — the XLA Householder custom call is 83% of MPS sim
+    time) and recovers ``r = q^H v``; ``r`` is then NOT triangular, which no
+    caller relies on (move_center only needs the exact product ``q r = v``).
+
+    Otherwise: REAL Householder QR of the interleaved embedding. The
+    positive-diagonal reduced QR is unique for full-rank input, and the
+    canonical complex factors' embeddings ARE a real QR with positive
+    diagonal — so after normalizing the real factor signs, lifting recovers
+    the complex factors exactly. Backward-stable at any condition number
+    (unlike CholeskyQR). Columns whose R diagonal collapses to ~0 (rank
+    deficiency) lift to junk — but their R rows are ~0, so Q @ R still
     reproduces v to roundoff.
     """
+    if _pallas_orth_eligible(v):
+        from qml_cutensornet_tpu.ops import pallas_qr
+
+        q = pallas_qr.qr_orth_pallas(v)
+        r = einsum("mi,mk->ik", conj(q), v)
+        return q, r
     e = embed_interleaved(v)  # [2m, 2k]
     qe, re_ = jnp.linalg.qr(e)
     d = jnp.sign(jnp.diagonal(re_))
@@ -185,6 +205,10 @@ def qr(v: Cpx) -> tuple[Cpx, Cpx]:
 
 def qr_orth(v: Cpx) -> Cpx:
     """Orthonormal basis of the columns of ``v`` (Q factor of :func:`qr`)."""
+    if _pallas_orth_eligible(v):
+        from qml_cutensornet_tpu.ops import pallas_qr
+
+        return pallas_qr.qr_orth_pallas(v)
     return qr(v)[0]
 
 

@@ -169,8 +169,14 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     if iters == 1:
         # Single power step: apply theta twice (two skinny [m,k]x[k,keep]
         # products) instead of forming theta theta^H (an [m,m,k] product) —
-        # ~2x fewer flops for this stage.
+        # ~2x fewer flops for this stage. Orthonormalizing BETWEEN the two
+        # applications is load-bearing at f32: it keeps the basis the final
+        # orthonormalization sees at conditioning ~s (theta's spectrum)
+        # instead of ~s^2, so weak-but-real singular directions sit well
+        # above the roundoff floor (same subspace in exact arithmetic:
+        # span(theta theta^H v0) == span(theta orth(theta^H v0))).
         w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
+        w = cpx.qr_orth(w)
         v = cpx.einsum("ij,jk->ik", theta, w)
         v = cpx.qr_orth(v)
     else:
