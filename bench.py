@@ -109,6 +109,23 @@ def main() -> None:
     log(f"warm run: {t_warm:.2f}s; K sane: "
         f"sym={np.allclose(k2, k2.T, atol=1e-4)}, "
         f"diag_err={np.abs(np.diag(k2) - 1).max():.2e}")
+
+    # Parity column: compare the leading block against the committed f64
+    # golden (in-repo C++ LAPACK engine, reference routing, cutoff 1e-16,
+    # chi cap 192 — scripts/make_golden.py). Only valid when the bench
+    # config and dataset match the golden's.
+    max_abs_err = None
+    gold_path = pathlib.Path(
+        f"runs/golden/bench_nq{nq}_r{reps}_d{d}_g{gamma}_N8.npz"
+    )
+    if gold_path.is_file():
+        gold = np.load(gold_path)
+        if gold["x"].shape[1] == nq and np.allclose(gold["x"], X[: len(gold["x"])]):
+            g = len(gold["x"])
+            max_abs_err = float(np.abs(k2[:g, :g] - gold["k"]).max())
+            log(f"max_abs_err vs f64 golden ({g}x{g} block): {max_abs_err:.3e}")
+        else:
+            log("golden present but config/dataset mismatch; skipping parity column")
     try:
         import json as _json
 
@@ -124,11 +141,13 @@ def main() -> None:
     per_vdot_a100 = 0.0138
     baseline = n_points * per_circ_a100 + n_points * (n_points + 1) / 2 * per_vdot_a100
 
+    prec = os.environ.get("QMLTPU_PRECISION", "f32")
     print(json.dumps({
-        "metric": f"{n_points}x{n_points} train-Gram wall-clock, {nq} qubits (r{reps} d{d} g{gamma} chi{chi}, f32, 1 chip)",
+        "metric": f"{n_points}x{n_points} train-Gram wall-clock, {nq} qubits (r{reps} d{d} g{gamma} chi{chi}, {prec}, 1 chip)",
         "value": round(t_warm, 3),
         "unit": "seconds",
         "vs_baseline": round(baseline / t_warm, 2),
+        "max_abs_err_vs_f64_golden": max_abs_err,
     }))
 
 

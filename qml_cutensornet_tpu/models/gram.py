@@ -101,7 +101,7 @@ def build_kernel_matrix(
     ``mesh``: optional ``jax.sharding.Mesh`` with one axis — distributes the
     build across devices (see parallel/gram.py).
     """
-    from qml_cutensornet_tpu.utils.jaxenv import setup_compilation_cache
+    from qml_cutensornet_tpu.utils.jaxenv import ensure_precision, setup_compilation_cache
 
     setup_compilation_cache()
     X = np.asarray(X, dtype=np.float64)
@@ -114,6 +114,7 @@ def build_kernel_matrix(
         if truncation_error is None:
             raise ValueError("You must specify a truncation error.")
         cfg = SimConfig(truncation_error=truncation_error)
+    ensure_precision(cfg)
     verbose = loglevel <= 20
 
     if mesh is not None:
@@ -245,6 +246,21 @@ def build_kernel_matrix(
 
     if ckpt_file is not None:
         ckpt_file.unlink(missing_ok=True)
+
+    # Normalize out the states' norm deficits (truncation fidelity + f32
+    # norm drift): K'[i,j] = |<y|x>|^2 / (<y|y><x|x>). The exact kernel has
+    # unit diagonal; the reference leaves the deficit in (its eps=1e-16
+    # makes it ~1e-12, gpu:141-144) — at a binding chi cap dividing it out
+    # moves entries TOWARD the exact kernel. QMLTPU_NORMALIZE=0 restores
+    # raw products.
+    if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
+        from qml_cutensornet_tpu.models.simulate import state_norms_sq
+
+        n2x = np.asarray(state_norms_sq(ax, precision=cfg.matmul_precision))
+        n2y = n2x if Y is None else np.asarray(
+            state_norms_sq(ay, precision=cfg.matmul_precision)
+        )
+        kernel_mat = kernel_mat / np.outer(n2y[:len_y], n2x[:len_x])
 
     tiling_duration = time.perf_counter() - tiling_start
     total_duration = time.perf_counter() - start_time

@@ -340,6 +340,36 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("precision",))
+def state_norms_sq(a: Cpx, precision: str = "highest"):
+    """Per-state squared norms ``<psi_b|psi_b>`` for a batch of MPS site
+    tensors ``a [B, n, chi, 2, chi]`` -> real ``[B]``.
+
+    Used to normalize kernel entries: the engines (ours and the
+    reference's) do not renormalize after truncation, so |<y|x>|^2 carries
+    the product of both states' norm deficits. Dividing it out removes both
+    the truncation-fidelity bias and the f32 norm-drift accumulated over
+    the gate sequence — the exact kernel has unit diagonal by construction.
+    """
+    with jax.default_matmul_precision(precision):
+        def one(re, im):
+            chi = re.shape[1]
+            m = Cpx(
+                jnp.zeros((chi, chi), re.dtype).at[0, 0].set(1.0),
+                jnp.zeros((chi, chi), re.dtype),
+            )
+
+            def step(m, ts):
+                t = Cpx(ts[0], ts[1])
+                tm = cpx.einsum("ab,bsd->asd", m, t)
+                return cpx.einsum("asc,asd->cd", cpx.conj(t), tm), None
+
+            m, _ = lax.scan(step, m, (re, im))
+            return m.re[0, 0]
+
+        return jax.vmap(one)(a.re, a.im)
+
+
+@partial(jax.jit, static_argnames=("precision",))
 def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
     """All-pairs squared overlaps between two batches of MPS site tensors.
 

@@ -386,6 +386,19 @@ def build_kernel_matrix_sharded(
         if ckpt_file is not None and process_index() == 0:
             ckpt_file.unlink(missing_ok=True)
     gram_time = time.perf_counter() - t0
+
+    # Same normalization as the single-device path (models/gram.py): divide
+    # out <y|y><x|x> so truncation/roundoff norm deficits cancel.
+    if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
+        from qml_cutensornet_tpu.models.simulate import state_norms_sq
+
+        # Norms are computed on the PADDED batches, matching k's padded shape.
+        n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.matmul_precision))
+        n2y = n2x if symmetric else to_host(
+            state_norms_sq(out_y.tensors, precision=cfg.matmul_precision)
+        )
+        k = k / np.outer(n2y, n2x)
+
     profiling["kernel_mat_time"] = [gram_time, "seconds"]
     profiling["r0_product"] = [gram_time, "seconds"]
     n_pairs = max(1, len_y_padded * x_pad.shape[0] // ndev)

@@ -28,3 +28,15 @@ def setup_compilation_cache(path: str | None = None) -> None:
     except Exception:
         pass  # older jax or read-only fs: run without the cache
     _DONE = True
+
+
+def ensure_precision(cfg) -> None:
+    """Enable jax x64 when the config asks for f64. Without this, float64
+    arrays silently downcast to f32 and an "f64" run produces f32 numerics
+    (the parity mode would be a lie). Safe to call repeatedly; enabling x64
+    mid-process only affects traces made afterwards."""
+    if getattr(cfg, "precision", None) == "f64":
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
