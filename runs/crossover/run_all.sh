@@ -17,12 +17,28 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 [ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic
 
+# Per-distance bond cap: ~2x the reference's observed avg max chi at nf=100
+# (runs/crossover gpu_results.csv: d2 10.1, d4 28.6, d6 71.9, d8 137.1,
+# d10 320.1) so the eps-mask, not the cap, sets the reported chi.
+chi_for_d() {
+    case "$1" in
+        1|2) echo 64 ;;
+        3|4) echo 96 ;;
+        5|6) echo 192 ;;
+        7|8) echo 256 ;;
+        9|10) echo 512 ;;
+        *) echo 1024 ;;
+    esac
+}
+
 for d in ${DS:-2 4 6 8 10}; do
-    QMLTPU_CHI=${QMLTPU_CHI:-512} python -m qml_cutensornet_tpu.cli.main_no_test "CPU" $nf $r $g $d $ntr $ntr $s $df
+    QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
+        python -m qml_cutensornet_tpu.cli.main_no_test "CPU" $nf $r $g $d $ntr $ntr $s $df
 done
 mv train_Nf*.json runs/crossover/raw/cpu/; rm -f train_Nf*.npy
 
 for d in ${DS:-2 4 6 8 10 12}; do
-    QMLTPU_CHI=${QMLTPU_CHI:-1024} python -m qml_cutensornet_tpu.cli.main_no_test "GPU" $nf $r $g $d $ntr $ntr $s $df
+    QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
+        python -m qml_cutensornet_tpu.cli.main_no_test "GPU" $nf $r $g $d $ntr $ntr $s $df
 done
 mv train_Nf*.json runs/crossover/raw/gpu/; rm -f train_Nf*.npy
