@@ -136,14 +136,16 @@ def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
 
 
 def _batch_block(k: int, m: int) -> int:
-    """Largest batch block (multiple of 8) such that the four [Bb, k, m]
-    f32 buffers stay well inside VMEM (~16 MB/core)."""
-    # ~16 MB VMEM/core; leave most of it for Mosaic's scoped temporaries
-    # (the HIGHEST-precision dots and the unrolled panel loop both allocate
-    # stack) — measured: a 7.3 MB block set OOMs at 29.8 MB scoped.
-    budget = 3 * 1024 * 1024
+    """Largest batch block such that the kernel fits VMEM (~16 MB/core).
+
+    Peak scoped usage is ~2.7x the four [Bb, k, m] f32 in/out buffers
+    (Mosaic stacks the HIGHEST-precision dot temporaries and the unrolled
+    panel loop's intermediates) — measured: 9.4 MB of buffers OOMed at
+    25.5 MB scoped. Budget the buffers at ~5 MB. The batch dim is neither
+    lanes nor sublanes, so any block size is layout-legal."""
+    budget = 5 * 1024 * 1024
     bb = budget // (4 * k * m * 4)
-    return max(8, (bb // 8) * 8)
+    return max(2, min(64, (bb // 2) * 2))
 
 
 @lru_cache(maxsize=32)
@@ -152,6 +154,15 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     spec = pl.BlockSpec((Bb, k, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        # The default scoped-vmem budget is 16 MB — a compiler default, not
+        # the hardware (v5e has ~128 MB VMEM). Mosaic stacks the unrolled
+        # panel loop's dot temporaries at ~3-5x the block buffers; raise
+        # the ceiling so chi>=192 blocks compile.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         _orth_kernel,
         grid=(n_blocks,),
@@ -162,6 +173,7 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
         in_specs=[spec, spec],
         out_specs=(spec, spec),
         interpret=interpret,
+        **kwargs,
     )
 
 
@@ -169,7 +181,7 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     """Orthonormal basis of the columns of each ``v[b] [m, k]`` (complex
     pairs, batched). Returns Q with the same shape; zero columns stay zero."""
     B, m, k = v.re.shape
-    bb = min(_batch_block(k, m), -(-B // 8) * 8)
+    bb = min(_batch_block(k, m), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
