@@ -126,9 +126,20 @@ def _tile_kernel(n_sites, by, bx, chi,
 def pallas_tile_supported(chi: int) -> bool:
     """The compiled kernel needs lane-aligned matrices (Mosaic tiles the
     last dim to 128 lanes): chi must be a multiple of 128, and the backend
-    a real TPU."""
+    a real TPU.
+
+    OPT-IN (QMLTPU_PALLAS_TILE=1): measured on v5e round 2, the XLA scan
+    version is FASTER at chi <= 128 (e.g. 149 ms vs 428 ms for a 48x48
+    tile at chi=64-padded-to-128; the scan sits within ~2x of the
+    bandwidth/flop bound), and at chi=256 the kernel's VMEM scratch
+    ([by,bx,chi,chi] + 8 double buffers) exceeds the scoped budget. Kept
+    for re-evaluation on hardware where the tradeoff flips."""
+    import os
+
     import jax
 
+    if os.environ.get("QMLTPU_PALLAS_TILE", "0") != "1":
+        return False
     try:
         platform = jax.devices()[0].platform
     except Exception:
