@@ -69,27 +69,38 @@ def main():
 
     emap = entanglement_graph(nq, d)
     ansatz_ref = KernelStateAnsatz(nq, reps, gamma, emap, routing="reference")
-    circuits = [ansatz_ref.circuit_for_data(x) for x in X]
 
-    # --- 1. chi* sweep on the native engine (fidelity vs cap). ---
-    log(f"== native chi sweep (nq={nq} r{reps} d{d} g{gamma}, {n_points} circuits) ==")
-    for cap in sorted(set(chis + [gold_chi])):
+    # --- Golden kernel: reuse the committed artifact when it matches. ---
+    gold_file = pathlib.Path(f"runs/golden/bench_nq{nq}_r{reps}_d{d}_g{gamma}_N{n_points}.npz")
+    k_gold = None
+    if os.environ.get("PROBE_SWEEP", "0") != "1" and gold_file.is_file():
+        gold = np.load(gold_file)
+        if np.allclose(gold["x"], X):
+            k_gold = gold["k"]
+            log(f"golden: reusing {gold_file} (cap={int(gold['chi_cap'])}, "
+                f"min_fid={float(gold['min_fid']):.12f})")
+
+    if k_gold is None:
+        circuits = [ansatz_ref.circuit_for_data(x) for x in X]
+        # --- 1. chi* sweep on the native engine (fidelity vs cap). ---
+        log(f"== native chi sweep (nq={nq} r{reps} d{d} g{gamma}, {n_points} circuits) ==")
+        for cap in sorted(set(chis + [gold_chi])):
+            t0 = time.perf_counter()
+            tile, chi_x, _, fid, _, _ = native.compute_tile(
+                nq, circuits[: min(4, n_points)], cutoff=1e-16, chi_cap=cap,
+            )
+            dt = time.perf_counter() - t0
+            log(f"native cap={cap:4d}: max_chi={max(chi_x)} "
+                f"min_fid={min(fid):.12f} ({dt:.1f}s)")
+
+        # --- 2. golden kernel at gold_chi (≈ exact). ---
+        log(f"== golden tile at cap={gold_chi} ==")
         t0 = time.perf_counter()
-        tile, chi_x, _, fid, _, _ = native.compute_tile(
-            nq, circuits[: min(4, n_points)], cutoff=1e-16, chi_cap=cap,
+        k_gold, chi_x, _, fid, _, _ = native.compute_tile(
+            nq, circuits, cutoff=1e-16, chi_cap=gold_chi
         )
-        dt = time.perf_counter() - t0
-        log(f"native cap={cap:4d}: max_chi={max(chi_x)} "
-            f"min_fid={min(fid):.12f} ({dt:.1f}s)")
-
-    # --- 2. golden kernel at gold_chi (≈ exact). ---
-    log(f"== golden tile at cap={gold_chi} ==")
-    t0 = time.perf_counter()
-    k_gold, chi_x, _, fid, _, _ = native.compute_tile(
-        nq, circuits, cutoff=1e-16, chi_cap=gold_chi
-    )
-    log(f"golden: {time.perf_counter() - t0:.1f}s, max_chi={max(chi_x)}, "
-        f"min_fid={min(fid):.12f}")
+        log(f"golden: {time.perf_counter() - t0:.1f}s, max_chi={max(chi_x)}, "
+            f"min_fid={min(fid):.12f}")
 
     # --- 3. engine cases. ---
     cases = os.environ.get(

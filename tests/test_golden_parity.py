@@ -51,12 +51,13 @@ def test_f64_engine_matches_native_golden(golden_16q, routing):
 
 
 def test_f32_engine_error_budget(golden_16q):
-    """f32 production mode: storage-roundoff floor, must stay within a few
-    1e-6 at 16q (the 32q budget is ~7e-5; errors random-walk with op
-    count)."""
+    """f32 production mode WITH kernel normalization: first-order (norm)
+    errors cancel in K/(<y|y><x|x>), leaving only second-order subspace
+    errors — measured 1.4e-8 at 32q chi=64 on CPU (docs/PARITY.md). Pin
+    the <=1e-6 parity bar at 16q."""
     nq, reps, gamma, emap, X, k_gold = golden_16q
     ansatz = KernelStateAnsatz(nq, reps, gamma, emap)
     cfg = SimConfig(chi=128, precision="f32", svd_method="subspace",
                     subspace_iters=1)
     k = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=5, tile=5)
-    assert np.abs(k - k_gold).max() < 3e-5
+    assert np.abs(k - k_gold).max() < 1e-6
