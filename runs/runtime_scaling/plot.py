@@ -14,12 +14,12 @@ labels = [f"{2*lic} / {n}" for lic, n in zip(df_train["licit_data"], df_train["n
 
 plt.bar(labels, df_train["mpi_wall_time"] / 3600,
         bottom=(df_train["mps_wall_time"] + df_train["dot_wall_time"]) / 3600,
-        label="Communication", color="darkgreen", alpha=0.7)
+        label="Communication", color="#2a7f62", alpha=0.7)
 plt.bar(labels, df_train["dot_wall_time"] / 3600,
         bottom=df_train["mps_wall_time"] / 3600,
-        label="Inner products", color="orange", alpha=0.7)
+        label="Inner products", color="#e8903a", alpha=0.7)
 plt.bar(labels, df_train["mps_wall_time"] / 3600,
-        label="MPS simulation", color="mediumblue", alpha=0.7)
+        label="MPS simulation", color="#3a5fe8", alpha=0.7)
 
 plt.xlabel("Data size / num. chips", fontsize=11)
 plt.ylabel("Runtime (hours)", fontsize=11)
