@@ -183,8 +183,26 @@ def build_kernel_matrix(
               f"in {sum(sim_times):.3f}s (avg chi {np.mean(chi_x):.1f}).")
 
     # --- Kernel tiles. ---
+    # Pad the state batches to tile multiples with EXACT-ZERO states so
+    # every tile dispatch has the same shape: ragged edge tiles would each
+    # trigger a fresh compile per dataset size (minutes through the AOT
+    # compile service). Zero states give zero overlaps; the padded rows and
+    # columns are sliced away before normalization.
     tiling_start = time.perf_counter()
-    kernel_mat = np.zeros((len_y, len_x))
+    len_y_pad = -(-len_y // tile) * tile
+    len_x_pad = -(-len_x // tile) * tile
+
+    def _pad_states(t: Cpx, target: int) -> Cpx:
+        if t.re.shape[0] == target:
+            return t
+        pad = target - t.re.shape[0]
+        return cpx.tmap(
+            lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)), t
+        )
+
+    ay = _pad_states(ay, len_y_pad)
+    ax = _pad_states(ax, len_x_pad)
+    kernel_mat = np.zeros((len_y_pad, len_x_pad))
 
     ckpt_file = None
     ckpt_interval = float(os.environ.get("QMLTPU_CKPT_INTERVAL", "0"))
@@ -193,14 +211,22 @@ def build_kernel_matrix(
         pathlib.Path(checkpoint_dir).mkdir(exist_ok=True)
         ckpt_file = pathlib.Path(checkpoint_dir) / f"checkpoint_{pathlib.Path(info_file).name}.npy"
         if ckpt_file.is_file():
-            kernel_mat = np.load(ckpt_file)
+            loaded = np.load(ckpt_file)
+            if loaded.shape == kernel_mat.shape:
+                kernel_mat = loaded
+            else:
+                # Checkpoint predates the tile padding (or tile changed):
+                # place into the padded buffer's top-left corner.
+                kernel_mat[: loaded.shape[0], : loaded.shape[1]] = loaded[
+                    : kernel_mat.shape[0], : kernel_mat.shape[1]
+                ]
             if verbose:
                 print("Recovered from checkpoint!")
 
     vdot_time: list[float] = []
-    tile_pairs: list[int] = []  # pair count per computed tile (ragged edges!)
-    y_ranges = _tile_ranges(len_y, tile)
-    x_ranges = _tile_ranges(len_x, tile)
+    tile_pairs: list[int] = []  # true (unpadded) pair count per tile
+    y_ranges = _tile_ranges(len_y_pad, tile)
+    x_ranges = _tile_ranges(len_x_pad, tile)
     symmetric = Y is None
     # Fused VMEM-resident Pallas kernel where supported (~2x over the XLA
     # scan); requires lane-aligned chi and full f32 precision semantics.
@@ -227,7 +253,9 @@ def build_kernel_matrix(
                 block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
-            tile_pairs.append((y1 - y0) * (x1 - x0))
+            tile_pairs.append(
+                max(1, (min(y1, len_y) - y0) * (min(x1, len_x) - x0))
+            )
             kernel_mat[y0:y1, x0:x1] = block
             if symmetric and x0 < y0:
                 kernel_mat[x0:x1, y0:y1] = block.T
@@ -247,6 +275,8 @@ def build_kernel_matrix(
     if ckpt_file is not None:
         ckpt_file.unlink(missing_ok=True)
 
+    kernel_mat = kernel_mat[:len_y, :len_x]
+
     # Normalize out the states' norm deficits (truncation fidelity + f32
     # norm drift): K'[i,j] = |<y|x>|^2 / (<y|y><x|x>). The exact kernel has
     # unit diagonal; the reference leaves the deficit in (its eps=1e-16
@@ -254,12 +284,8 @@ def build_kernel_matrix(
     # moves entries TOWARD the exact kernel. QMLTPU_NORMALIZE=0 restores
     # raw products.
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
-        from qml_cutensornet_tpu.models.simulate import state_norms_sq
-
-        n2x = np.asarray(state_norms_sq(ax, precision=cfg.matmul_precision))
-        n2y = n2x if Y is None else np.asarray(
-            state_norms_sq(ay, precision=cfg.matmul_precision)
-        )
+        n2x = _norms_chunked(ax, tile, cfg.matmul_precision)
+        n2y = n2x if Y is None else _norms_chunked(ay, tile, cfg.matmul_precision)
         kernel_mat = kernel_mat / np.outer(n2y[:len_y], n2x[:len_x])
 
     tiling_duration = time.perf_counter() - tiling_start
@@ -282,6 +308,26 @@ def build_kernel_matrix(
             json.dump(profiling, fp, indent=4)
 
     return kernel_mat
+
+
+def _norms_chunked(a: Cpx, chunk: int, precision: str) -> np.ndarray:
+    """Per-state squared norms computed in FIXED-SIZE padded batches so the
+    jitted scan compiles once per (chunk, n, chi) — a full-batch call would
+    recompile for every dataset size (measured: minutes per shape through
+    the AOT compile service)."""
+    from qml_cutensornet_tpu.models.simulate import state_norms_sq
+
+    n = a.re.shape[0]
+    out = []
+    for s in range(0, n, chunk):
+        blk = cpx.tmap(lambda t: t[s : s + chunk], a)
+        if blk.re.shape[0] < chunk:
+            pad = chunk - blk.re.shape[0]
+            blk = cpx.tmap(
+                lambda t: jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1)), blk
+            )
+        out.append(np.asarray(state_norms_sq(blk, precision=precision)))
+    return np.concatenate(out)[:n]
 
 
 def _actual_mps_bytes(max_chis, n_sites, itemsize, chi_cap):
