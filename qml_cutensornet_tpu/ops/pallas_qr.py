@@ -181,7 +181,9 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     """Orthonormal basis of the columns of each ``v[b] [m, k]`` (complex
     pairs, batched). Returns Q with the same shape; zero columns stay zero."""
     B, m, k = v.re.shape
-    bb = min(_batch_block(k, m), B)
+    # Minimum block of 2: Mosaic cannot lower the per-column reductions for
+    # 1-element batch vectors ("Unsupported output implicit dimension").
+    bb = min(_batch_block(k, m), max(2, B))
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
