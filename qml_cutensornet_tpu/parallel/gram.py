@@ -392,7 +392,12 @@ def build_kernel_matrix_sharded(
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
         from qml_cutensornet_tpu.models.simulate import state_norms_sq
 
-        # Norms are computed on the PADDED batches, matching k's padded shape.
+        # Norms are computed on the PADDED batches, matching k's padded
+        # shape. Unlike the single-device path this is one whole-batch jit
+        # (slicing a sharded array into host-side chunks would gather);
+        # it compiles once per batch size — negligible against a
+        # multi-chip-scale build, and the mesh path is not used for
+        # CLI-style many-small-runs sweeps.
         n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.matmul_precision))
         n2y = n2x if symmetric else to_host(
             state_norms_sq(out_y.tensors, precision=cfg.matmul_precision)

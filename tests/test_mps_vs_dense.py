@@ -215,3 +215,35 @@ def test_degenerate_angles_survive():
     want = dense.ansatz_state(x, reps, gamma, emap)
     np.testing.assert_allclose(np.abs(np.vdot(got, want)) ** 2, 1.0, atol=1e-9)
     np.testing.assert_allclose(float(mps_ops.norm_sq(state)), 1.0, atol=1e-9)
+
+
+def test_routing_modes_agree_under_binding_chi_cap():
+    """Tracked routing reorders commuting gates, so under a BINDING chi cap
+    the truncation sequence differs from reference routing. The resulting
+    kernels must still agree to the truncation scale itself (both are
+    valid truncations of the same state; the reference's own two backends
+    differ the same way). Exact-regime agreement is covered elsewhere."""
+    import qml_cutensornet_tpu as q
+    from qml_cutensornet_tpu.config import SimConfig
+
+    rng = np.random.default_rng(9)
+    nq, reps, nn, gamma = 10, 2, 3, 1.0
+    emap = q.entanglement_graph(nq, nn)
+    X = rng.uniform(0, 2, size=(6, nq))
+    kernels = {}
+    for routing in ("tracked", "reference"):
+        ansatz = q.KernelStateAnsatz(nq, reps, gamma, emap, routing=routing)
+        cfg = SimConfig(chi=8, precision="f64", svd_method="subspace",
+                        subspace_iters=2)  # chi=8 binds: true rank is 32
+        k = q.build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+        kernels[routing] = k
+    # Estimate the truncation scale from the deviation to the exact kernel.
+    ansatz = q.KernelStateAnsatz(nq, reps, gamma, emap)
+    k_exact = q.build_kernel_matrix(
+        ansatz, X, cfg=SimConfig(chi=64, precision="f64"), sim_batch=6, tile=6
+    )
+    trunc_scale = np.abs(kernels["tracked"] - k_exact).max()
+    assert trunc_scale > 1e-6  # the cap really binds
+    # routing modes agree to a small multiple of the truncation scale
+    diff = np.abs(kernels["tracked"] - kernels["reference"]).max()
+    assert diff < 5 * trunc_scale
