@@ -31,11 +31,10 @@ kernel_state_ansatz.py:217-226).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.ops.cpx import Cpx
