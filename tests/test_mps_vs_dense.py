@@ -247,3 +247,29 @@ def test_routing_modes_agree_under_binding_chi_cap():
     # routing modes agree to a small multiple of the truncation scale
     diff = np.abs(kernels["tracked"] - kernels["reference"]).max()
     assert diff < 5 * trunc_scale
+
+
+def test_kernel_normalization_identity(monkeypatch):
+    """QMLTPU_NORMALIZE toggles exactly the <y|y><x|x> factor: raw and
+    normalized kernels relate entry-wise by the outer product of the state
+    norms-squared (the raw diagonal is |<x|x>|^2 = (<x|x>)^2, so
+    <x|x> = sqrt(diag)), and the normalized diagonal is exactly 1."""
+    import qml_cutensornet_tpu as q
+    from qml_cutensornet_tpu.config import SimConfig
+
+    rng = np.random.default_rng(4)
+    nq, reps, nn = 8, 2, 2
+    emap = q.entanglement_graph(nq, nn)
+    ansatz = q.KernelStateAnsatz(nq, reps, 1.0, emap)
+    X = rng.uniform(0, 2, size=(6, nq))
+    cfg = SimConfig(chi=4, precision="f64")  # chi binds -> norms < 1
+
+    monkeypatch.setenv("QMLTPU_NORMALIZE", "0")
+    k_raw = q.build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+    monkeypatch.setenv("QMLTPU_NORMALIZE", "1")
+    k_norm = q.build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+
+    np.testing.assert_allclose(np.diag(k_norm), 1.0, atol=1e-12)
+    n2 = np.sqrt(np.diag(k_raw))  # <x|x> per state
+    assert n2.min() < 1.0 - 1e-6  # truncation really bit
+    np.testing.assert_allclose(k_raw, k_norm * np.outer(n2, n2), atol=1e-12)
