@@ -63,7 +63,14 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
         return False
     if dtype != jnp.float32:
         return False
-    if k % PANEL != 0 or m % 8 != 0 or m < 128:
+    # Minimum m (= 2*chi) for kernel eligibility. Lowering to 32 also routes
+    # the staged-chi RAMP-UP stages through the kernel: measured 3.17 ->
+    # 2.73 s on the 32q bench, but the changed early-stage numerics moved
+    # max_abs_err_vs_f64_golden from 4.8e-7 into the 1-2e-6 mask-boundary
+    # flicker band (docs/PARITY.md). Default keeps the parity-grade
+    # number; set QMLTPU_PALLAS_QR_MIN_M=32 to trade ~0.4 s for it.
+    min_m = int(os.environ.get("QMLTPU_PALLAS_QR_MIN_M", "128"))
+    if k % PANEL != 0 or m % 8 != 0 or m < min_m:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
