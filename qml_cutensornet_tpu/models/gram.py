@@ -214,14 +214,20 @@ def build_kernel_matrix(
             loaded = np.load(ckpt_file)
             if loaded.shape == kernel_mat.shape:
                 kernel_mat = loaded
+                if verbose:
+                    print("Recovered from checkpoint!")
             else:
-                # Checkpoint predates the tile padding (or tile changed):
-                # place into the padded buffer's top-left corner.
-                kernel_mat[: loaded.shape[0], : loaded.shape[1]] = loaded[
-                    : kernel_mat.shape[0], : kernel_mat.shape[1]
-                ]
-            if verbose:
-                print("Recovered from checkpoint!")
+                # A checkpoint written under a different tile size has a
+                # different padded shape AND different tile boundaries; the
+                # per-tile skip test (corner != 0) would then treat a
+                # partially-covered new tile as complete and silently leave
+                # its uncomputed region zero. Discard it and recompute.
+                if verbose:
+                    print(
+                        "Checkpoint shape "
+                        f"{loaded.shape} != {kernel_mat.shape} (tile size "
+                        "changed); discarding it and recomputing."
+                    )
 
     vdot_time: list[float] = []
     tile_pairs: list[int] = []  # true (unpadded) pair count per tile
@@ -283,10 +289,26 @@ def build_kernel_matrix(
     # makes it ~1e-12, gpu:141-144) — at a binding chi cap dividing it out
     # moves entries TOWARD the exact kernel. QMLTPU_NORMALIZE=0 restores
     # raw products.
+    #
+    # Symmetric case: normalize by the tile path's OWN diagonal,
+    # K[i,j]/sqrt(K[i,i] K[j,j]) — NOT by separately-computed state norms.
+    # The two would be equal in exact arithmetic, but state_norms_sq
+    # accumulates through a different reduction structure than the tile
+    # scan; at f32 the two can disagree by the scan's rounding (~3e-6
+    # relative, chi-layout dependent), which lands on the diagonal where
+    # K=1 — this was the whole of the chi=96 "mask-boundary flicker"
+    # (docs/PARITY.md). Diagonal-based normalization makes the diagonal
+    # exactly 1 by construction and keeps the per-state rounding consistent
+    # with how the off-diagonal tiles were accumulated.
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
-        n2x = _norms_chunked(ax, tile, cfg.matmul_precision)
-        n2y = n2x if Y is None else _norms_chunked(ay, tile, cfg.matmul_precision)
-        kernel_mat = kernel_mat / np.outer(n2y[:len_y], n2x[:len_x])
+        if Y is None:
+            dg = np.sqrt(np.maximum(np.diag(kernel_mat), 0.0))
+            dg = np.where(dg > 0, dg, 1.0)
+            kernel_mat = kernel_mat / np.outer(dg, dg)
+        else:
+            n2x = _norms_chunked(ax, tile, cfg.matmul_precision)
+            n2y = _norms_chunked(ay, tile, cfg.matmul_precision)
+            kernel_mat = kernel_mat / np.outer(n2y[:len_y], n2x[:len_x])
 
     tiling_duration = time.perf_counter() - tiling_start
     total_duration = time.perf_counter() - start_time

@@ -349,13 +349,27 @@ def build_kernel_matrix_sharded(
                 pathlib.Path(checkpoint_dir)
                 / f"checkpoint_ring_{pathlib.Path(info_file).name}.npz"
             )
-            if ckpt_file.is_file():
+            if process_index() == 0 and ckpt_file.is_file():
                 saved = np.load(ckpt_file)
                 if saved["k"].shape == k_host.shape:
                     k_host = saved["k"].astype(k_host.dtype)
                     start_iter = int(saved["next_iter"])
                     if verbose:
                         print(f"[mesh:{ndev}] ring resumed at iteration {start_iter}")
+            if jax.process_count() > 1:
+                # Only process 0 writes the snapshot, and a multi-host
+                # deployment need not share a filesystem: broadcast the
+                # resume state so every process enters the SAME collective
+                # sequence (divergent start_iter values would hang the ring).
+                from jax.experimental import multihost_utils
+
+                start_iter, k_host = jax.tree.map(
+                    np.asarray,
+                    multihost_utils.broadcast_one_to_all(
+                        (np.int64(start_iter), k_host)
+                    ),
+                )
+                start_iter = int(start_iter)
 
         k_dev = jax.device_put(k_host, stripe_sharding)
         ay_cur = out_y.tensors
@@ -390,19 +404,28 @@ def build_kernel_matrix_sharded(
     # Same normalization as the single-device path (models/gram.py): divide
     # out <y|y><x|x> so truncation/roundoff norm deficits cancel.
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
-        from qml_cutensornet_tpu.models.simulate import state_norms_sq
+        if symmetric:
+            # Normalize by the ring's OWN diagonal (K[i,j]/sqrt(K_ii K_jj)):
+            # exactly unit diagonal, and the per-state factors carry the
+            # same f32 accumulation rounding as the off-diagonal tiles —
+            # separately-computed state norms differ from the tile scan by
+            # its rounding (~3e-6 relative), the former chi=96 "flicker"
+            # (models/gram.py has the full story).
+            dg = np.sqrt(np.maximum(np.diagonal(k), 0.0))
+            dg = np.where(dg > 0, dg, 1.0)
+            k = k / np.outer(dg, dg)
+        else:
+            from qml_cutensornet_tpu.models.simulate import state_norms_sq
 
-        # Norms are computed on the PADDED batches, matching k's padded
-        # shape. Unlike the single-device path this is one whole-batch jit
-        # (slicing a sharded array into host-side chunks would gather);
-        # it compiles once per batch size — negligible against a
-        # multi-chip-scale build, and the mesh path is not used for
-        # CLI-style many-small-runs sweeps.
-        n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.matmul_precision))
-        n2y = n2x if symmetric else to_host(
-            state_norms_sq(out_y.tensors, precision=cfg.matmul_precision)
-        )
-        k = k / np.outer(n2y, n2x)
+            # Norms are computed on the PADDED batches, matching k's padded
+            # shape. Unlike the single-device path this is one whole-batch
+            # jit (slicing a sharded array into host-side chunks would
+            # gather); it compiles once per batch size — negligible against
+            # a multi-chip-scale build, and the mesh path is not used for
+            # CLI-style many-small-runs sweeps.
+            n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.matmul_precision))
+            n2y = to_host(state_norms_sq(out_y.tensors, precision=cfg.matmul_precision))
+            k = k / np.outer(n2y, n2x)
 
     profiling["kernel_mat_time"] = [gram_time, "seconds"]
     profiling["r0_product"] = [gram_time, "seconds"]
