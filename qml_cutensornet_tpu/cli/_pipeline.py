@@ -20,7 +20,7 @@ positional contract come from environment variables:
     QMLTPU_SVD         subspace | svd | eigh (default subspace — the
                        matmul-only TPU fast path; "svd" is the QDWH-accurate
                        reference path)
-    QMLTPU_ROUTING     tracked | reference  (default tracked)
+    QMLTPU_ROUTING     tracked | reference | brick  (default tracked)
     QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
     QMLTPU_TILE        Gram tile side (default 32)
     QMLTPU_MESH        device count for the sharded Gram build (default:

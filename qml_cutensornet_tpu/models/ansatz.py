@@ -57,6 +57,15 @@ GATE_I = 0  # identity two-site op (canonical-center move)
 GATE_SWAP = 1
 GATE_XX = 2
 GATE_XXSW = 3  # fused XXPhase @ SWAP (= SWAP @ XXPhase; XX is exchange-symmetric)
+GATE_ZZ = 4  # ZZPhase — in the reference gate set (KernelPkg.jl:34-42,
+#              cpu_backend/kernel_state_ansatz.py:124-125) though the ansatz
+#              never emits it; supported for gate-set parity.
+# Single-site kinds (>= GATE_RX): ``site`` is the qubit index, the op never
+# moves the canonical center (1q unitaries preserve site isometries).
+GATE_RX = 5  # TKET_Rx (cpu:117-118, KernelPkg.jl:8-14)
+GATE_RZ1 = 6  # TKET_Rz as a standalone stream op (the ansatz encodes its Rz
+#               layers as vectorized diagonal passes instead)
+GATE_H1 = 7  # Hadamard as a standalone stream op
 
 # Placement of the orthogonality center after a two-site update.
 DIR_R = 0  # center ends at site+1
@@ -208,6 +217,181 @@ def _canonical_lower(streams, pos_maps, num_qubits):
     return segments
 
 
+@dataclasses.dataclass
+class BrickRep:
+    """One ansatz repetition lowered to brick LAYERS of disjoint two-site
+    ops (all pairs of one parity update simultaneously — the Vidal/Hastings
+    TEBD form, ops/vidal.py). Pair coordinates are in the PADDED site space
+    (real site ``s`` sits at padded site ``s+1``; one dummy site on the
+    left, one or two on the right make both parities carry exactly ``K``
+    pairs with disjoint gathers)."""
+
+    pos_to_feature: np.ndarray  # [n] int32 — feature at REAL site p at rep start
+    parities: np.ndarray  # [L] int32 — padded-space parity of each layer
+    swaps: np.ndarray  # [L] bool — layer is a swap-network step (XXSW ops)
+    active: np.ndarray  # [L, K] bool — pair participates in the layer
+    fire: np.ndarray  # [L, K] bool — pair applies its XXPhase angle
+    fa: np.ndarray  # [L, K] int32 — feature indices for the angle
+    fb: np.ndarray  # [L, K] int32
+
+
+@dataclasses.dataclass
+class BrickSchedule:
+    """Brick-parallel ansatz program: per rep, an Rz feature layer followed
+    by swap-network brick layers that realize every entanglement-map pair
+    as an adjacent meeting exactly once (fused XXPhase@SWAP on meets,
+    plain SWAP otherwise). Built by :func:`_raw_brick`; verified at build
+    time by replaying the permutation."""
+
+    num_qubits: int
+    reps: int
+    gamma: float
+    hadamard_init: bool
+    bricks: list[BrickRep]
+    final_pos: np.ndarray  # [n] int32 — final site of original qubit q
+    num_sites_padded: int
+    pairs_per_layer: int
+    routing: str = "brick"
+
+    @property
+    def num_two_site_ops(self) -> int:
+        return int(sum(np.sum(r.active) for r in self.bricks))
+
+    @property
+    def num_layers(self) -> int:
+        return int(sum(len(r.parities) for r in self.bricks))
+
+
+def _raw_brick(num_qubits, reps, entanglement_map):
+    """Banded windowed swap network (brick routing).
+
+    The sequential routers (above) make a traveling qubit fire gates one at
+    a time — ~2n·d two-site ops PER REP all serialized. Brick routing
+    instead runs layers of disjoint adjacent transpositions, so a whole
+    layer is ONE batched factorization (ops/vidal.py):
+
+    - d = max interaction distance. All map pairs are label pairs at
+      distance <= d, i.e. position spans of length <= d+1 at rep start.
+    - A full swap network on a window of w sites (w brick layers of
+      alternating parity, every active pair swaps) makes every pair of
+      window qubits adjacent exactly once and reverses the window
+      [classic odd-even transposition result].
+    - Window passes per rep: Wa = width-2d windows at offsets 0, 2d, ...;
+      Wc = the same at offset d (plus the leading partial [0, d)). Every
+      span of length <= d+1 either avoids all Wa boundaries (fits a Wa
+      window) or crosses one at 2dk, in which case it lies in
+      [2dk-d, 2dk+d) — a Wc window. So passes over Wa and Wc windows
+      from the SAME layout meet every map pair.
+    - Rep structure alternates to avoid dead restore passes:
+      even reps: A (reverse Wa), A' (restore Wa), C (reverse Wc);
+      odd reps: C' (restore Wc), A, A'. Each rep sees both families from
+      an identity layout; order returns to identity every two reps.
+      6d layers/rep vs the naive full network's n.
+    - When a pair meets, the XXPhase angle is fused into the SWAP
+      (gates.xxphase_swap) the first time per rep; later meets within the
+      rep are plain SWAPs. The builder REPLAYS the permutation and asserts
+      every map pair fires exactly once per rep.
+    - d == 1 needs no routing at all: two no-swap XX brick layers per rep.
+    - 2d >= n degenerates to the full reversal network on [0, n).
+
+    Validity of dropping restores across reps is the same argument as
+    tracked routing: every datapoint's circuit undergoes the same site
+    permutation, and Gram entries are invariant under a common relabeling.
+    """
+    n = num_qubits
+    if not entanglement_map:
+        raise ValueError("Brick routing needs a non-empty entanglement map.")
+    d = max(abs(a - b) for (a, b) in entanglement_map)
+    map_set = {(min(a, b), max(a, b)) for (a, b) in entanglement_map}
+    n_p = n + (3 if n % 2 == 0 else 2)
+    K = (n_p - 1) // 2
+    at = np.arange(n, dtype=np.int64)  # at[p] = qubit at real site p
+
+    if 2 * d >= n:
+        wa = [(0, n)]
+        wc = [(0, n)]
+    else:
+        wa = [(s, min(s + 2 * d, n)) for s in range(0, n, 2 * d)]
+        wc = [(0, d)] + [(s, min(s + 2 * d, n)) for s in range(d, n, 2 * d)]
+        wc = [(s, e) for (s, e) in wc if e - s >= 2]
+
+    bricks = []
+    for rep in range(reps):
+        pos_to_feature = at.astype(np.int32).copy()
+        fired: set = set()
+        layers: list = []
+
+        def make_layers(pair_sites, swap):
+            """Emit layer(s) for the given disjoint REAL left-site list,
+            splitting by parity (window offsets of mixed parity — odd d —
+            contribute two sub-layers; disjoint sites commute)."""
+            for par_real in (0, 1):
+                sites = [s for s in pair_sites if s % 2 == par_real]
+                if not sites:
+                    continue
+                par_pad = (par_real + 1) % 2
+                act = np.zeros(K, bool)
+                fr = np.zeros(K, bool)
+                fa = np.zeros(K, np.int32)
+                fb = np.zeros(K, np.int32)
+                for s in sites:
+                    k = (s + 1 - par_pad) // 2
+                    act[k] = True
+                    qa, qb = int(at[s]), int(at[s + 1])
+                    key = (min(qa, qb), max(qa, qb))
+                    if key in map_set and key not in fired:
+                        fired.add(key)
+                        fr[k] = True
+                        fa[k], fb[k] = qa, qb
+                    if swap:
+                        at[s], at[s + 1] = at[s + 1], at[s]
+                layers.append((par_pad, swap, act, fr, fa, fb))
+
+        def emit_pass(windows):
+            width = max(e - s for (s, e) in windows)
+            for step in range(width):
+                pair_sites = []
+                for (ws, we) in windows:
+                    if step >= we - ws:
+                        continue  # short window: its network already done
+                    for s in range(ws + (step % 2), we - 1, 2):
+                        pair_sites.append(s)
+                if pair_sites:
+                    make_layers(pair_sites, swap=True)
+
+        if d == 1:
+            make_layers(list(range(0, n - 1, 2)), swap=False)
+            make_layers(list(range(1, n - 1, 2)), swap=False)
+        elif 2 * d >= n:
+            emit_pass(wa)  # full network: all pairs meet, order reversed
+        elif rep % 2 == 0:
+            emit_pass(wa)
+            emit_pass(wa)  # restore
+            emit_pass(wc)
+        else:
+            emit_pass(wc)  # restore (meets all Wc pairs again)
+            emit_pass(wa)
+            emit_pass(wa)  # restore
+        missing = map_set - fired
+        assert not missing, f"brick schedule missed pairs {sorted(missing)[:5]}"
+
+        bricks.append(
+            BrickRep(
+                pos_to_feature=pos_to_feature,
+                parities=np.asarray([l[0] for l in layers], np.int32),
+                swaps=np.asarray([l[1] for l in layers], bool),
+                active=np.stack([l[2] for l in layers]),
+                fire=np.stack([l[3] for l in layers]),
+                fa=np.stack([l[4] for l in layers]),
+                fb=np.stack([l[5] for l in layers]),
+            )
+        )
+
+    pos = np.empty(n, dtype=np.int32)  # pos[q] = final site of qubit q
+    pos[at] = np.arange(n, dtype=np.int32)
+    return bricks, pos
+
+
 def build_schedule(
     num_qubits: int,
     reps: int,
@@ -215,12 +399,25 @@ def build_schedule(
     entanglement_map: list[tuple[int, int]],
     hadamard_init: bool = True,
     routing: str = "tracked",
-) -> GateSchedule:
+):
     if routing == "reference":
         streams, pos_maps, final_pos = _raw_reference(num_qubits, reps, entanglement_map)
     elif routing == "tracked":
         streams, pos_maps, final_pos = _raw_tracked(num_qubits, reps, entanglement_map)
         streams = [_fuse_stream(s) for s in streams]
+    elif routing == "brick":
+        bricks, final_pos = _raw_brick(num_qubits, reps, entanglement_map)
+        n_p = num_qubits + (3 if num_qubits % 2 == 0 else 2)
+        return BrickSchedule(
+            num_qubits=num_qubits,
+            reps=reps,
+            gamma=float(gamma),
+            hadamard_init=hadamard_init,
+            bricks=bricks,
+            final_pos=final_pos,
+            num_sites_padded=n_p,
+            pairs_per_layer=(n_p - 1) // 2,
+        )
     else:
         raise ValueError(f"Unknown routing mode: {routing}")
     segments = _canonical_lower(streams, pos_maps, num_qubits)

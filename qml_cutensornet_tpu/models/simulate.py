@@ -19,7 +19,17 @@ import numpy as np
 from jax import lax
 
 from qml_cutensornet_tpu.config import SimConfig
-from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_XX, GATE_XXSW, GateSchedule
+from qml_cutensornet_tpu.models.ansatz import (
+    GATE_H1,
+    GATE_I,
+    GATE_RX,
+    GATE_RZ1,
+    GATE_SWAP,
+    GATE_XX,
+    GATE_XXSW,
+    GATE_ZZ,
+    GateSchedule,
+)
 from qml_cutensornet_tpu.ops import cpx, gates, mps as mps_ops
 from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.mps import MPS
@@ -27,8 +37,13 @@ from qml_cutensornet_tpu.ops.mps import MPS
 
 def apply_schedule_op(state: MPS, site, gkind, direction, theta, cfg: SimConfig) -> MPS:
     """Dispatch one lowered op: GATE_I ops are canonical-center moves
-    (single-site QR, exact and cheap); SWAP/XX are two-site truncating
-    updates. Traceable with all of (site, gkind, direction, theta) dynamic."""
+    (single-site QR, exact and cheap); SWAP/XX/XXSW/ZZ are two-site
+    truncating updates; RX/RZ1/H1 are single-site gates (exact, no SVD,
+    center untouched — 1q unitaries preserve site isometries). Traceable
+    with all of (site, gkind, direction, theta) dynamic. The predicates are
+    batch-uniform (op streams are shared across the vmap batch), so the
+    conds stay real branches under vmap — untaken gate kinds cost nothing
+    at runtime."""
     rdt = cfg.real_dtype
     site = jnp.asarray(site, jnp.int32)
     gkind = jnp.asarray(gkind, jnp.int32)
@@ -37,22 +52,42 @@ def apply_schedule_op(state: MPS, site, gkind, direction, theta, cfg: SimConfig)
     def do_move(st):
         return mps_ops.move_center(st, site, direction, cfg)
 
-    def do_gate(st):
+    def do_1q(st):
+        # One-hot blend over the single-site kinds (gate-set parity with
+        # cpu_backend/kernel_state_ansatz.py:113-131).
+        w_rx = (gkind == GATE_RX).astype(rdt)
+        w_rz = (gkind == GATE_RZ1).astype(rdt)
+        w_h = 1.0 - w_rx - w_rz
+        rx = gates.rx(theta, rdt)
+        rz = gates.rz(theta, rdt)
+        h = gates.hadamard(rdt)
+        mat = Cpx(
+            w_rx * rx.re + w_rz * rz.re + w_h * h.re,
+            w_rx * rx.im + w_rz * rz.im,
+        )
+        return mps_ops.apply_1q(st, site, mat)
+
+    def do_2site(st):
         xx = gates.xxphase(theta, rdt)
         sw = gates.swap(rdt)
-        # One-hot blend over the three gate kinds. The fused XXSW matrix is
-        # xx @ swap, i.e. the XX matrix with columns 1,2 exchanged — built
-        # here by permuting xx's columns instead of a 4x4 matmul.
+        zz = gates.zzphase(theta, rdt)
+        # One-hot blend over the two-site gate kinds. The fused XXSW matrix
+        # is xx @ swap, i.e. the XX matrix with columns 1,2 exchanged —
+        # built here by permuting xx's columns instead of a 4x4 matmul.
         w_xx = (gkind == GATE_XX).astype(rdt)
         w_fu = (gkind == GATE_XXSW).astype(rdt)
-        w_sw = 1.0 - w_xx - w_fu
+        w_zz = (gkind == GATE_ZZ).astype(rdt)
+        w_sw = 1.0 - w_xx - w_fu - w_zz
         perm = jnp.array([0, 2, 1, 3])
         fu = cpx.tmap(lambda t: t[:, perm], xx)
         mat = Cpx(
-            w_xx * xx.re + w_fu * fu.re + w_sw * sw.re,
-            w_xx * xx.im + w_fu * fu.im,
+            w_xx * xx.re + w_fu * fu.re + w_zz * zz.re + w_sw * sw.re,
+            w_xx * xx.im + w_fu * fu.im + w_zz * zz.im,
         )
         return mps_ops.apply_2site(st, site, mat, cfg, direction)
+
+    def do_gate(st):
+        return lax.cond(gkind >= GATE_RX, do_1q, do_2site, st)
 
     return lax.cond(gkind == GATE_I, do_move, do_gate, state)
 
@@ -134,6 +169,16 @@ def _op_stream_scan(state: MPS, sites, gkinds, dirs, thetas, cfg: SimConfig):
 
 
 def make_chunked_simulator(
+    schedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
+):
+    from qml_cutensornet_tpu.models.ansatz import BrickSchedule
+
+    if isinstance(schedule, BrickSchedule):
+        return make_brick_simulator(schedule, cfg, mesh=mesh)
+    return _make_chunked_stream_simulator(schedule, cfg, chunk_len, mesh)
+
+
+def _make_chunked_stream_simulator(
     schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
 ):
     """Chunked batched simulator: ``features [B, n] -> MPS`` via a host loop
@@ -165,7 +210,14 @@ def make_chunked_simulator(
     if cache is None:
         cache = {}
         schedule._sim_cache = cache
-    cache_key = (cfg, chunk_len, mesh, staged)
+    # The Pallas-QR eligibility knobs are read at TRACE time inside
+    # cpx.qr/qr_orth; key the cached closures on them so flipping the env
+    # between calls cannot silently reuse closures traced the other way.
+    pallas_env = (
+        os.environ.get("QMLTPU_PALLAS_QR", "1"),
+        os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
+    )
+    cache_key = (cfg, chunk_len, mesh, staged, pallas_env)
     if cache_key in cache:
         return cache[cache_key]
     n = schedule.num_qubits
@@ -336,7 +388,313 @@ def make_chunked_simulator(
     return simulate
 
 
+def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=None):
+    """Brick-parallel batched simulator: ``features [B, n] -> MPS`` via the
+    Vidal/Hastings engine (ops/vidal.py) over a :class:`BrickSchedule`.
+
+    Each dispatched program is a ``lax.scan`` over up to ``layer_chunk``
+    brick layers; every layer is ONE ``[B * K]``-batched two-site
+    factorization instead of the stream engine's per-op updates — at
+    nq=100 d=6 that is 72 sequential steps per circuit instead of 3744
+    (models/ansatz.py:_raw_brick). Chunks are padded with inactive layers
+    (exact no-ops) so ONE compiled chunk body per stage chi serves the
+    whole circuit; staged-chi runs the entanglement ramp-up at
+    power-of-two sub-caps exactly as the stream engine does.
+    """
+    from qml_cutensornet_tpu.ops import vidal
+
+    staged = os.environ.get("QMLTPU_STAGED", "1") != "0"
+    cache = getattr(schedule, "_sim_cache", None)
+    if cache is None:
+        cache = {}
+        schedule._sim_cache = cache
+    pallas_env = (
+        os.environ.get("QMLTPU_PALLAS_QR", "1"),
+        os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
+    )
+    cache_key = ("brick", cfg, layer_chunk, mesh, staged, pallas_env)
+    if cache_key in cache:
+        return cache[cache_key]
+
+    n = schedule.num_qubits
+    n_p = schedule.num_sites_padded
+    K = schedule.pairs_per_layer
+    rdt = cfg.real_dtype
+    gamma = schedule.gamma
+
+    # --- Staged chi: per-layer structural bond bounds (host-side replay).
+    # A two-site update across real bond s yields dim <= min(2*left_bond,
+    # 2*right_bond, position cut, cap), with PRE-layer neighbor dims (all
+    # pairs of a brick read untouched opposite-parity bonds).
+    rep_stages: list[list[int]] = []
+    if staged:
+        floor_chi = min(8, cfg.chi)
+        bd = np.ones(max(n - 1, 1))
+        cut = np.array(
+            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
+        )
+        for rep in schedule.bricks:
+            stages = []
+            for li in range(len(rep.parities)):
+                par = int(rep.parities[li])
+                new_bd = bd.copy()
+                for k in np.nonzero(rep.active[li])[0]:
+                    s = par + 2 * int(k) - 1  # real left site
+                    if not (0 <= s <= n - 2):
+                        continue
+                    lb = bd[s - 1] if s > 0 else 1.0
+                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
+                    new_bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
+                bd = new_bd
+                bound = int(bd.max())
+                stage = floor_chi
+                while stage < bound:
+                    stage *= 2
+                stages.append(min(stage, cfg.chi))
+            rep_stages.append(stages)
+    else:
+        rep_stages = [[cfg.chi] * len(r.parities) for r in schedule.bricks]
+    final_chi = min(8, cfg.chi) if staged else cfg.chi
+    for st_list in rep_stages:
+        for s in st_list:
+            final_chi = s
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from qml_cutensornet_tpu.parallel.mesh import AXIS
+
+        batch_sharding = NamedSharding(mesh, P(AXIS))
+        row_sharding = NamedSharding(mesh, P(AXIS, None))
+        repl_sharding = NamedSharding(mesh, P())
+        constrain = lambda st: jax.lax.with_sharding_constraint(st, batch_sharding)
+        put_rows = lambda a: jax.device_put(a, row_sharding)
+        put_repl = lambda a: jax.device_put(a, repl_sharding)
+        put_theta = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, AXIS, None)))
+    else:
+        constrain = lambda st: st
+        put_rows = jnp.asarray
+        put_repl = jnp.asarray
+        put_theta = jnp.asarray
+
+    fns: dict = {}
+
+    def fns_for(chi_s: int):
+        if chi_s in fns:
+            return fns[chi_s]
+        cfg_s = dataclasses.replace(cfg, chi=chi_s)
+
+        @jax.jit
+        def init_batch(features):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                st = vidal.zero_state(features.shape[0], n_p, cfg_s)
+                if schedule.hadamard_init:
+                    st = vidal.apply_1q_real_sites(st, gates.hadamard(rdt), n)
+                return constrain(st)
+
+        @jax.jit
+        def rz_batch(state, xs_at_pos):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                ph = gates.rz_phases(gamma * xs_at_pos, rdt)  # [B, n, 2]
+                return constrain(vidal.apply_diag_real_sites(state, ph))
+
+        @jax.jit
+        def chunk_batch(state, parities, swaps, actives, thetas):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return constrain(
+                    vidal.layer_scan(state, parities, swaps, actives, thetas, cfg_s)
+                )
+
+        @jax.jit
+        def pad_to(state):
+            old = state.tensors.re.shape[-1]
+            grow_t = lambda a: jnp.pad(
+                a, ((0, 0), (0, 0), (0, chi_s - old), (0, 0), (0, chi_s - old))
+            )
+            grow_l = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, chi_s - old)))
+            return constrain(
+                state._replace(
+                    tensors=cpx.tmap(grow_t, state.tensors),
+                    lams=grow_l(state.lams),
+                )
+            )
+
+        @jax.jit
+        def finalize(state):
+            tensors, fid, bond_dims = vidal.to_mps_tensors(state, n)
+            return MPS(tensors=tensors, fidelity=fid, bond_dims=bond_dims)
+
+        fns[chi_s] = (init_batch, rz_batch, chunk_batch, pad_to, finalize)
+        return fns[chi_s]
+
+    # --- Chunking: runs of consecutive same-stage layers within one rep,
+    # padded to layer_chunk with inactive all-false layers (exact no-ops
+    # under the active select). Chunk arrays are passed as ARGUMENTS (not
+    # baked as constants) so ONE compiled body per stage chi serves every
+    # chunk, exactly like the stream engine.
+    chunks2 = []  # (rep_idx, layer_start, layer_end, stage)
+    for ri, (rep, stages) in enumerate(zip(schedule.bricks, rep_stages)):
+        L = len(rep.parities)
+        i = 0
+        while i < L:
+            j = i + 1
+            while j < L and j - i < layer_chunk and stages[j] == stages[i]:
+                j += 1
+            chunks2.append((ri, i, j, stages[i]))
+            i = j
+
+    chunk_arrays = []
+    for (ri, i, j, stage) in chunks2:
+        rep = schedule.bricks[ri]
+        pad = layer_chunk - (j - i)
+        chunk_arrays.append(
+            (
+                np.concatenate([rep.parities[i:j], np.zeros(pad, np.int32)]),
+                np.concatenate(
+                    [rep.swaps[i:j].astype(np.float32), np.zeros(pad, np.float32)]
+                ),
+                np.concatenate([rep.active[i:j], np.zeros((pad, K), bool)]),
+            )
+        )
+
+    def simulate(features) -> MPS:
+        x = np.asarray(features, dtype=np.float64)
+        first_chi = chunks2[0][3] if chunks2 else final_chi
+        cur_chi = first_chi
+        state = fns_for(cur_chi)[0](put_rows(x.astype(np.dtype(rdt))))
+        rep_thetas = []
+        for rep in schedule.bricks:
+            th = 0.5 * np.pi * gamma * gamma * (1.0 - x[:, rep.fa]) * (1.0 - x[:, rep.fb])
+            rep_thetas.append(np.where(rep.fire[None], th, 0.0).astype(np.dtype(rdt)))
+        done_rz = -1
+        for (ri, i, j, stage), (pars, sws, acts) in zip(chunks2, chunk_arrays):
+            if ri > done_rz:
+                state = fns_for(cur_chi)[1](
+                    state,
+                    put_rows(
+                        x[:, schedule.bricks[ri].pos_to_feature].astype(np.dtype(rdt))
+                    ),
+                )
+                done_rz = ri
+            if stage > cur_chi:
+                cur_chi = stage
+                state = fns_for(cur_chi)[3](state)
+            # thetas [C, B, K] (scan axis leading), padded layers get zeros.
+            th = rep_thetas[ri][:, i:j]  # [B, c, K]
+            pad = layer_chunk - (j - i)
+            th = np.pad(th, ((0, 0), (0, pad), (0, 0))).transpose(1, 0, 2)
+            state = fns_for(cur_chi)[2](
+                state,
+                put_repl(pars),
+                put_repl(sws),
+                put_repl(acts),
+                put_theta(np.ascontiguousarray(th)),
+            )
+        return fns_for(cur_chi)[4](state)
+
+    simulate.final_chi = final_chi
+    cache[cache_key] = simulate
+    return simulate
+
+
 from functools import partial
+
+_GATE_LIST_KINDS = {
+    "SWAP": GATE_SWAP,
+    "XXPhase": GATE_XX,
+    "ZZPhase": GATE_ZZ,
+    "Rx": GATE_RX,
+    "Rz": GATE_RZ1,
+    "H": GATE_H1,
+}
+
+
+def lower_gate_list(gate_list, num_qubits: int):
+    """Lower a BOUND circuit in the reference CPU backend's tuple format
+    ``[(name, qubits, params), ...]`` (cpu_backend/kernel_state_ansatz.py:96-131,
+    pytket half-turn exponents) to canonical op-stream arrays
+    ``(sites, gkinds, dirs, thetas)`` for :func:`apply_schedule_op`.
+
+    Accepts the full reference gate set H/Rx/Rz/XXPhase/ZZPhase/SWAP and
+    raises on anything else (mirroring cpu:129). Two-qubit gates must act on
+    adjacent sites — the reference's router guarantees this before the
+    engine ever sees a circuit (gpu:68-90). Canonical-center moves are
+    inserted exactly as in the ansatz compiler (models/ansatz.py
+    ``_canonical_lower``); single-site gates neither need nor move the
+    center."""
+    from qml_cutensornet_tpu.models.ansatz import DIR_L, DIR_R
+
+    raw = []  # (site, kind, theta, is_two_site)
+    for name, qubits, params in gate_list:
+        kind = _GATE_LIST_KINDS.get(name)
+        if kind is None:
+            raise RuntimeError(f"Gate {name} not supported.")
+        alpha = float(params[0]) if params else 0.0
+        theta = 0.5 * np.pi * alpha  # TKET half-turns -> true angle
+        if kind >= GATE_RX:
+            (q,) = qubits
+            raw.append((int(q), kind, theta, False))
+        else:
+            q0, q1 = sorted(int(q) for q in qubits)
+            if q1 != q0 + 1:
+                raise RuntimeError(
+                    f"Two-qubit gate {name} on non-adjacent qubits ({q0},{q1});"
+                    " route the circuit first."
+                )
+            raw.append((q0, kind, theta, True))
+
+    # Lookahead: site of the NEXT two-site op, for placement direction.
+    nxt2 = [None] * len(raw)
+    nxt = None
+    for i in range(len(raw) - 1, -1, -1):
+        nxt2[i] = nxt
+        if raw[i][3]:
+            nxt = raw[i][0]
+
+    ops = []  # (site, kind, dir, theta)
+    center = None
+    for i, (site, kind, theta, is2q) in enumerate(raw):
+        if not is2q:
+            ops.append((site, kind, DIR_R, theta))
+            continue
+        if center is None:
+            center = site
+        while center < site:
+            ops.append((center, GATE_I, DIR_R, 0.0))
+            center += 1
+        while center > site + 1:
+            ops.append((center - 1, GATE_I, DIR_L, 0.0))
+            center -= 1
+        nxt = nxt2[i] if nxt2[i] is not None else site
+        d = DIR_L if nxt < site else DIR_R
+        ops.append((site, kind, d, theta))
+        center = site if d == DIR_L else site + 1
+
+    arr = np.asarray([(s, k, d) for (s, k, d, _) in ops], dtype=np.int32).reshape(-1, 3)
+    thetas = np.asarray([t for (_, _, _, t) in ops], dtype=np.float64)
+    return arr[:, 0], arr[:, 1], arr[:, 2], thetas
+
+
+def simulate_gate_list(gate_list, num_qubits: int, cfg: SimConfig) -> MPS:
+    """Simulate ONE bound circuit given in the reference's lowered tuple
+    format — the JAX-engine counterpart of ``KernelPkg.build_and_sim_circ``
+    (KernelPkg/src/KernelPkg.jl:45-72) and of the C++ engine's gate loop
+    (native/qk_native.cpp). Supports the full reference gate set including
+    Rx and ZZPhase, which the ansatz never emits but the reference backends
+    accept (cpu:113-131). Returns the final :class:`MPS`."""
+    sites, gkinds, dirs, thetas = lower_gate_list(gate_list, num_qubits)
+    rdt = cfg.real_dtype
+    state = mps_ops.zero_state(num_qubits, cfg)
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        state = _op_stream_scan(
+            state,
+            jnp.asarray(sites),
+            jnp.asarray(gkinds),
+            jnp.asarray(dirs),
+            jnp.asarray(thetas, dtype=rdt),
+            cfg,
+        )
+    return state
 
 
 @partial(jax.jit, static_argnames=("precision",))

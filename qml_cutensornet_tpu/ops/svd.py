@@ -244,6 +244,28 @@ def _left_vectors_eigh(theta: Cpx, ncand: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "keep"))
+def truncated_split_right(theta: Cpx, cfg: SimConfig, keep: int):
+    """Right-sided truncated factorization: ``theta [m, k]`` ≈
+    ``(theta V^H) V`` with ``V [keep, k]`` ROW-orthonormal (masked rows
+    exactly zero).
+
+    Returns ``(V, s, kept_fraction, rank)`` where ``s [keep]`` are the kept
+    singular values (``||theta v_j||`` per kept row, zeros on masked rows)
+    — the new bond Schmidt weights for the Vidal/Hastings brick engine
+    (ops/vidal.py). Implemented as the left-sided factorization of
+    ``theta^H``: any orthonormal basis Q of theta^H's kept left singular
+    subspace gives ``V = Q^H``, and ``theta V^H V`` is the corresponding
+    truncation of theta. Assumes ``cfg.renormalize`` is False (the engine
+    default, matching both reference backends) so the right factor's row
+    norms ARE the singular values."""
+    th = Cpx(jnp.swapaxes(theta.re, -1, -2), -jnp.swapaxes(theta.im, -1, -2))
+    left, right, kept_fraction, rank = truncated_svd(th, cfg, keep)
+    v = Cpx(jnp.swapaxes(left.re, -1, -2), -jnp.swapaxes(left.im, -1, -2))
+    s = jnp.sqrt(jnp.sum(cpx.abs2(right), axis=-1))
+    return v, s, kept_fraction, rank
+
+
+@partial(jax.jit, static_argnames=("cfg", "keep"))
 def truncated_svd(theta: Cpx, cfg: SimConfig, keep: int):
     """Factor ``theta [m, k]`` ≈ ``left [m, keep] @ right [keep, k]`` (complex
     Cpx pairs), with ``left`` a (masked) isometry spanning the kept left

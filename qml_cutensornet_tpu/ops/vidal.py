@@ -1,0 +1,213 @@
+"""Brick-parallel MPS evolution in Hastings B-form (parallel TEBD).
+
+The sequential engine (ops/mps.py) applies one two-site update at a time at
+a tracked canonical center — the op stream is inherently serial, and at
+nq=100 a circuit is ~3700 sequential factorizations (reference hot loop:
+one native ``simulate()`` call per circuit, gpu_backend/
+kernel_state_ansatz.py:217-226). This module instead evolves the state in
+the Vidal gauge, where a whole LAYER of disjoint two-site gates (a "brick")
+updates simultaneously: one batched factorization over (batch x n/2 bonds)
+per layer — 72 layers instead of 3744 ops at nq=100 d=6
+(models/ansatz.py:_raw_brick).
+
+Representation (Hastings' variant — no lambda inverses anywhere):
+
+- ``tensors [B, n_p, chi, 2, chi]``: B-form site tensors ``B_i = Gamma_i
+  lambda_i`` (right-canonical in the exact gauge). The plain product
+  ``B_1 B_2 .. B_n`` IS the state, so downstream overlap code
+  (models/simulate.py tile_overlaps_sq) consumes these tensors directly.
+- ``lams [B, n_p-1, chi]``: bond Schmidt values (masked entries exact 0).
+- Site axis is PADDED with dummy product sites (one left, 1-2 right) so
+  both brick parities carry the same pair count with disjoint
+  gathers/scatters (models/ansatz.py BrickRep docs).
+
+Brick update across bond i (pair sites i, i+1), gate G:
+
+    Theta~ = G (B_i B_{i+1})          -- NO left lambda
+    Theta  = diag(lam_{i-1}) Theta~   -- the bond-i Schmidt matrix: the
+             left environment A_1..A_{i-1} is column-isometric and the
+             right environment B_{i+2}.. is row-isometric in the Vidal
+             gauge, so Theta's singular values ARE the state's Schmidt
+             spectrum across bond i; truncating them is globally optimal.
+    V, s   = right factor / singular values of Theta (ops/svd.py
+             truncated_split_right — masked truncation, both reference
+             criteria)
+    B_{i+1}' = V                       [Hastings: = Gamma'_{i+1} lam_{i+1}]
+    B_i'     = Theta~ V^H              [= lam_{i-1}^{-1} U S, computed
+                                        WITHOUT the inverse]
+    lam_i'   = s
+
+All pairs of one parity have disjoint inputs (the left lambda of pair
+(2k, 2k+1) sits on an odd bond, untouched by the even brick), so the
+whole brick is one ``[B*K]``-batched factorization — exactly the shape
+the Pallas BCGS2 orthonormalizer (ops/pallas_qr.py) wants.
+
+Like the sequential engine: no renormalization after truncation; the
+kept-fraction product accumulates into ``fidelity`` (the reference's
+``avg_fidelity`` stat); masked/padded entries are EXACT zeros.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.ops import cpx, gates
+from qml_cutensornet_tpu.ops.cpx import Cpx
+from qml_cutensornet_tpu.ops.svd import truncated_split_right
+
+
+class VidalState(NamedTuple):
+    """Batched brick-engine state (batch axis leading on every leaf)."""
+
+    tensors: Cpx  # [B, n_p, chi, 2, chi]
+    lams: jnp.ndarray  # [B, n_p-1, chi] real
+    fidelity: jnp.ndarray  # [B]
+    bond_dims: jnp.ndarray  # [B, n_p-1] int32
+
+
+def zero_state(batch: int, n_p: int, cfg: SimConfig) -> VidalState:
+    """|0..0> over the padded site space: every site e0 (x) |0> (x) e0,
+    every bond lambda = e0 (a dim-1 bond with weight 1)."""
+    rdt = cfg.real_dtype
+    re = jnp.zeros((batch, n_p, cfg.chi, 2, cfg.chi), dtype=rdt)
+    re = re.at[:, :, 0, 0, 0].set(1.0)
+    lams = jnp.zeros((batch, n_p - 1, cfg.chi), dtype=rdt).at[:, :, 0].set(1.0)
+    return VidalState(
+        tensors=Cpx(re, jnp.zeros_like(re)),
+        lams=lams,
+        fidelity=jnp.ones((batch,), dtype=rdt),
+        bond_dims=jnp.ones((batch, n_p - 1), dtype=jnp.int32),
+    )
+
+
+def apply_1q_real_sites(state: VidalState, u2: Cpx, n: int) -> VidalState:
+    """Apply the same 1q gate to every REAL site (padded sites 1..n).
+    1q unitaries act on B_i without touching lambdas."""
+    t = state.tensors
+    mid = cpx.tmap(lambda x: x[:, 1 : n + 1], t)
+    mid = cpx.einsum("st,mnatc->mnasc", u2, mid)
+    upd = lambda full, m: lax.dynamic_update_slice_in_dim(full, m, 1, axis=1)
+    return state._replace(tensors=Cpx(upd(t.re, mid.re), upd(t.im, mid.im)))
+
+
+def apply_diag_real_sites(state: VidalState, phases: Cpx) -> VidalState:
+    """Per-REAL-site diagonal 1q gates, ``phases [B, n, 2]`` (the Rz
+    feature-encoding layer). Dummy sites are left untouched."""
+    t = state.tensors
+    n = phases.re.shape[1]
+    ph = cpx.tmap(lambda p: p[:, :, None, :, None], phases)
+    mid = cpx.tmap(lambda x: x[:, 1 : n + 1], t)
+    mid = cpx.mul(ph, mid)
+    upd = lambda full, m: lax.dynamic_update_slice_in_dim(full, m, 1, axis=1)
+    return state._replace(tensors=Cpx(upd(t.re, mid.re), upd(t.im, mid.im)))
+
+
+def brick_layer(
+    state: VidalState,
+    parity,
+    swap_w,
+    active,
+    thetas,
+    cfg: SimConfig,
+) -> VidalState:
+    """One brick layer: simultaneous two-site updates on all pairs
+    ``(parity + 2k, parity + 2k + 1)``, k in [0, K).
+
+    ``parity`` traced scalar int32; ``swap_w`` traced scalar (1.0 = fused
+    XXPhase@SWAP network step, 0.0 = plain XXPhase brick); ``active [K]``
+    bool (shared across the batch — inactive pairs are exact no-ops via
+    select); ``thetas [B, K]`` per-sample angles (0 on non-firing pairs).
+    """
+    t = state.tensors
+    B, n_p, chi = t.re.shape[0], t.re.shape[1], t.re.shape[2]
+    K = active.shape[0]
+    rdt = cfg.real_dtype
+
+    idx = parity + 2 * jnp.arange(K, dtype=jnp.int32)  # left sites [K]
+    take_s = lambda x, i: jnp.take(x, i, axis=1)
+    a = cpx.tmap(lambda x: take_s(x, idx), t)  # [B, K, chi, 2, chi]
+    b = cpx.tmap(lambda x: take_s(x, idx + 1), t)
+    # Left lambda of pair k sits on bond idx-1 (the opposite parity — never
+    # written by this brick). idx==0 only occurs for the always-inactive
+    # leading dummy pair; clip and let select discard it.
+    lam_l = take_s(state.lams, jnp.maximum(idx - 1, 0))  # [B, K, chi]
+    lam_l = jnp.where((idx > 0)[None, :, None], lam_l, state.lams[:, :1] * 0 + 1.0)
+
+    # theta~ = G (a b): gate built per (sample, pair). XXSW = XX with
+    # columns 1,2 exchanged (models/simulate.py uses the same trick).
+    xx = gates.xxphase(thetas, rdt)  # [B, K, 4, 4]
+    perm = jnp.array([0, 2, 1, 3])
+    fu = cpx.tmap(lambda m: m[..., :, perm], xx)
+    g = Cpx(
+        swap_w * fu.re + (1.0 - swap_w) * xx.re,
+        swap_w * fu.im + (1.0 - swap_w) * xx.im,
+    )
+    g = cpx.tmap(lambda m: m.reshape(B, K, 2, 2, 2, 2), g)
+    theta0 = cpx.einsum("bkasc,bkctd->bkastd", a, b)
+    theta_t = cpx.einsum("bkstuv,bkauvc->bkastc", g, theta0)  # gate applied
+
+    # Weight by the left lambda -> the Schmidt matrix of bond idx.
+    theta_w = cpx.tmap(lambda x: x * lam_l[:, :, :, None, None, None], theta_t)
+
+    flat = lambda x: x.reshape(B * K, chi * 2, 2 * chi)
+    th_w = cpx.tmap(flat, theta_w)
+    th_t = cpx.tmap(flat, theta_t)
+
+    v, s, kf, rank = jax.vmap(lambda m: truncated_split_right(m, cfg, chi))(th_w)
+    # Hastings: new left tensor from the UNWEIGHTED theta (no lambda
+    # inverse): B_i' = theta~ V^H.
+    new_a = cpx.einsum("bmk,bck->bmc", th_t, cpx.conj(v))  # [B*K, chi*2, chi]
+
+    resh = lambda x: x.reshape(B, K, chi, 2, chi)
+    new_a = cpx.tmap(resh, new_a)
+    new_b = cpx.tmap(lambda x: x.reshape(B, K, chi, 2, chi), v)
+    s = s.reshape(B, K, chi)
+    kf = kf.reshape(B, K)
+    rank = rank.reshape(B, K)
+
+    # Inactive pairs: keep everything unchanged (exact no-op).
+    am = active[None, :]
+    sel5 = lambda new, old: jnp.where(am[:, :, None, None, None], new, old)
+    new_a = Cpx(sel5(new_a.re, a.re), sel5(new_a.im, a.im))
+    new_b = Cpx(sel5(new_b.re, b.re), sel5(new_b.im, b.im))
+    lam_new = jnp.where(am[:, :, None], s, take_s(state.lams, idx))
+    rank_new = jnp.where(am, rank, take_s(state.bond_dims, idx))
+    fid = state.fidelity * jnp.prod(jnp.where(am, kf, 1.0), axis=1).astype(
+        state.fidelity.dtype
+    )
+
+    put = lambda full, i, val: full.at[:, i].set(val)
+    tensors = Cpx(
+        put(put(t.re, idx, new_a.re), idx + 1, new_b.re),
+        put(put(t.im, idx, new_a.im), idx + 1, new_b.im),
+    )
+    lams = put(state.lams, idx, lam_new)
+    bond_dims = put(state.bond_dims, idx, rank_new.astype(jnp.int32))
+    return VidalState(tensors=tensors, lams=lams, fidelity=fid, bond_dims=bond_dims)
+
+
+def layer_scan(state: VidalState, parities, swaps, actives, thetas, cfg: SimConfig):
+    """Scan a chunk of layers: ``parities [C]``, ``swaps [C]`` (as floats),
+    ``actives [C, K]``, ``thetas [C, B, K]``."""
+
+    def body(st, inp):
+        par, sw, act, th = inp
+        return brick_layer(st, par, sw, act, th, cfg), None
+
+    state, _ = lax.scan(body, state, (parities, swaps, actives, thetas))
+    return state
+
+
+def to_mps_tensors(state: VidalState, n: int):
+    """Strip the dummy sites: the B-form product over real sites is the
+    state (dummy bonds are exact dim-1 e0 bonds, so slicing is exact).
+    Returns (tensors [B, n, chi, 2, chi], fidelity [B], bond_dims
+    [B, n-1])."""
+    tensors = cpx.tmap(lambda x: x[:, 1 : n + 1], state.tensors)
+    bond_dims = state.bond_dims[:, 1:n]
+    return tensors, state.fidelity, bond_dims
