@@ -216,6 +216,7 @@ def _make_chunked_stream_simulator(
     pallas_env = (
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
+        os.environ.get("QMLTPU_BLOCKED_QR", "1"),
     )
     cache_key = (cfg, chunk_len, mesh, staged, pallas_env)
     if cache_key in cache:
@@ -411,6 +412,7 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
     pallas_env = (
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
+        os.environ.get("QMLTPU_BLOCKED_QR", "1"),
     )
     cache_key = ("brick", cfg, layer_chunk, mesh, staged, pallas_env)
     if cache_key in cache:

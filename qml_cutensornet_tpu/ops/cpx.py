@@ -171,6 +171,33 @@ def _pallas_orth_eligible(v: Cpx) -> bool:
     return pallas_qr.pallas_qr_supported(m, k, v.re.dtype)
 
 
+def _blocked_orth_eligible(v: Cpx) -> bool:
+    """Large-chi f32 TPU orthonormalization routes to the streaming blocked
+    BCGS2 + CholeskyQR2 path (ops/blocked_qr.py): above the Pallas kernel's
+    VMEM/unroll ceiling (k > 128), XLA Householder QR's sequential panel
+    loop is the known catastrophic path on TPU. QMLTPU_BLOCKED_QR=0
+    disables; =force enables on any platform/size (probing)."""
+    import os
+
+    mode = os.environ.get("QMLTPU_BLOCKED_QR", "1")
+    if mode == "0":
+        return False
+    import jax.numpy as _jnp
+
+    if v.re.dtype != _jnp.float32:
+        return False
+    if mode == "force":
+        return True
+    if v.re.shape[-1] <= 128:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def qr(v: Cpx) -> tuple[Cpx, Cpx]:
     """Complex reduced "QR": ``v = q @ r`` with ``q`` column-orthonormal.
 
@@ -194,6 +221,12 @@ def qr(v: Cpx) -> tuple[Cpx, Cpx]:
         q = pallas_qr.qr_orth_pallas(v)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r
+    if _blocked_orth_eligible(v):
+        from qml_cutensornet_tpu.ops import blocked_qr
+
+        q = blocked_qr.qr_orth_blocked(v)
+        r = einsum("mi,mk->ik", conj(q), v)
+        return q, r
     e = embed_interleaved(v)  # [2m, 2k]
     qe, re_ = jnp.linalg.qr(e)
     d = jnp.sign(jnp.diagonal(re_))
@@ -209,6 +242,10 @@ def qr_orth(v: Cpx) -> Cpx:
         from qml_cutensornet_tpu.ops import pallas_qr
 
         return pallas_qr.qr_orth_pallas(v)
+    if _blocked_orth_eligible(v):
+        from qml_cutensornet_tpu.ops import blocked_qr
+
+        return blocked_qr.qr_orth_blocked(v)
     return qr(v)[0]
 
 

@@ -72,6 +72,13 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
     min_m = int(os.environ.get("QMLTPU_PALLAS_QR_MIN_M", "128"))
     if k % PANEL != 0 or m % 8 != 0 or m < min_m:
         return False
+    # Upper gate: at k > 128 the VMEM-resident buffers stop fitting even
+    # with batch blocking (chi=1024 needs 64 MB of block buffers alone,
+    # ~170 MB scoped) and the UNROLLED panel/MGS loops blow up Mosaic
+    # compile time. Large shapes route to the streaming blocked BCGS2 +
+    # CholeskyQR2 path instead (ops/blocked_qr.py).
+    if k > 128:
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - backend init failure

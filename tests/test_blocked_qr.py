@@ -1,0 +1,124 @@
+"""Blocked BCGS2 + CholeskyQR2 orthonormalizer (ops/blocked_qr.py): the
+large-chi path where the Pallas kernel no longer fits VMEM. Tested directly
+on CPU (eligibility normally requires TPU; tests call the function)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qml_cutensornet_tpu.ops import cpx
+from qml_cutensornet_tpu.ops.blocked_qr import qr_orth_blocked
+from qml_cutensornet_tpu.ops.cpx import Cpx
+
+
+def _as_cpx(m, dtype=np.float32):
+    return Cpx(jnp.asarray(m.real.astype(dtype)), jnp.asarray(m.imag.astype(dtype)))
+
+
+def _orth_err(q):
+    qn = cpx.to_np(q)
+    nz = np.linalg.norm(qn, axis=0) > 0.5
+    g = qn[:, nz].conj().T @ qn[:, nz]
+    return np.abs(g - np.eye(g.shape[0])).max()
+
+
+def _span_err(q, v):
+    """|| (I - QQ^H) v || / ||v|| — Q must cover v's column space."""
+    qn, vn = cpx.to_np(q), cpx.to_np(v)
+    r = vn - qn @ (qn.conj().T @ vn)
+    return np.linalg.norm(r) / np.linalg.norm(vn)
+
+
+@pytest.mark.parametrize("m,k", [(256, 96), (512, 256), (300, 160)])
+def test_orthonormal_and_spanning_f32(m, k):
+    rng = np.random.default_rng(m + k)
+    v = rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))
+    q = qr_orth_blocked(_as_cpx(v))
+    assert _orth_err(q) < 5e-6
+    assert _span_err(q, _as_cpx(v)) < 5e-6
+
+
+def test_degenerate_spectrum_and_rank_deficiency():
+    """Exactly repeated singular values and dependent columns: dependent
+    directions are ZEROED (not junk), the span is still covered."""
+    rng = np.random.default_rng(7)
+    m, r = 256, 40
+    u, _ = np.linalg.qr(rng.normal(size=(m, r)) + 1j * rng.normal(size=(m, r)))
+    w, _ = np.linalg.qr(rng.normal(size=(96, r)) + 1j * rng.normal(size=(96, r)))
+    # Weak cluster at 1e-3: well above the f32 detectability boundary
+    # (content at ~1e-5 relative, where real directions and amplified
+    # noise become indistinguishable, is out of scope by design — the
+    # engine's own sv-ratio floor masks such directions anyway).
+    s = np.concatenate([np.full(10, 1.0), np.full(10, 1e-2), np.full(20, 1e-3)])
+    v = (u * s) @ w.conj().T  # [m, 96], rank 40 with degenerate clusters
+    vc = _as_cpx(v)
+    q = qr_orth_blocked(vc)
+    qn = cpx.to_np(q)
+    norms = np.linalg.norm(qn, axis=0)
+    # Every column is either ~unit or EXACTLY zero; wholly-dependent
+    # panels (past the rank) are zeroed.
+    assert np.all((norms > 0.99) | (norms == 0.0))
+    assert (norms == 0.0).sum() >= 30
+    # Orthogonality contract (same as the Householder path's accepted junk
+    # behavior): SIGNIFICANT directions (nonzero projection weight) must be
+    # mutually orthonormal to f32 scale AND orthogonal to any noise-floor
+    # junk survivors, so junk can never double-count real weight — the
+    # engine's sv-ratio floor (ops/svd.py) masks the junk itself.
+    nz = np.nonzero(norms > 0.5)[0]
+    rfac = qn[:, nz].conj().T @ v
+    sig = np.linalg.norm(rfac, axis=1)
+    real = sig > 1e-4 * sig.max()
+    g = qn[:, nz].conj().T @ qn[:, nz] - np.eye(len(nz))
+    assert np.abs(g[np.ix_(real, real)]).max() < 1e-5
+    if (~real).sum():
+        assert np.abs(g[np.ix_(real, ~real)]).max() < 1e-5
+    # the kept columns must span the numerically resolvable range
+    top = u[:, :20]  # directions with s >= 1e-2: far above f32 noise
+    proj = top - qn @ (qn.conj().T @ top)
+    assert np.linalg.norm(proj) / np.linalg.norm(top) < 1e-4
+
+
+def test_exact_zero_columns_stay_zero():
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(128, 64)) + 1j * rng.normal(size=(128, 64))
+    v[:, 10] = 0.0
+    v[:, 40:50] = 0.0
+    q = cpx.to_np(qr_orth_blocked(_as_cpx(v)))
+    assert np.all(q[:, 10] == 0.0)
+    assert np.all(q[:, 40:50] == 0.0)
+
+
+def test_vmap_and_f64():
+    rng = np.random.default_rng(9)
+    vb = rng.normal(size=(4, 128, 96)) + 1j * rng.normal(size=(4, 128, 96))
+    q = jax.vmap(qr_orth_blocked)(
+        Cpx(jnp.asarray(vb.real, jnp.float64), jnp.asarray(vb.imag, jnp.float64))
+    )
+    for i in range(4):
+        assert _orth_err(cpx.tmap(lambda t: t[i], q)) < 1e-13
+
+
+def test_engine_parity_with_forced_blocked_qr(monkeypatch):
+    """The full 16q engine run with QMLTPU_BLOCKED_QR=force matches the
+    default (Householder-on-CPU) kernel to f32 engine-noise scale."""
+    monkeypatch.setenv("QMLTPU_PALLAS_QR", "0")
+    import numpy as np
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+
+    rng = np.random.default_rng(1)
+    n = 16
+    emap = entanglement_graph(n, 4)
+    X = rng.uniform(0, 2, size=(8, n))
+    cfg = SimConfig(chi=64, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    ks = {}
+    for mode in ("0", "force"):
+        monkeypatch.setenv("QMLTPU_BLOCKED_QR", mode)
+        ansatz = KernelStateAnsatz(n, 2, 1.0, emap)  # fresh schedule cache
+        ks[mode] = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=8, tile=8)
+    assert np.abs(ks["0"] - ks["force"]).max() < 5e-6
