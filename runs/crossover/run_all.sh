@@ -32,12 +32,22 @@ chi_for_d() {
 }
 
 for d in ${DS:-2 4 6 8 10}; do
+    if [ "${PREWARM:-1}" = "1" ]; then
+        QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
+            python -m qml_cutensornet_tpu.cli.main_no_test "CPU" $nf $r $g $d $ntr $ntr $s $df
+        rm -f kernels/train_Nf*.npy train_Nf*.npy train_Nf*.json 2>/dev/null || true
+    fi
     QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
         python -m qml_cutensornet_tpu.cli.main_no_test "CPU" $nf $r $g $d $ntr $ntr $s $df
 done
 mv train_Nf*.json runs/crossover/raw/cpu/; rm -f train_Nf*.npy
 
 for d in ${DS:-2 4 6 8 10 12}; do
+    if [ "${PREWARM:-1}" = "1" ]; then
+        QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
+            python -m qml_cutensornet_tpu.cli.main_no_test "GPU" $nf $r $g $d $ntr $ntr $s $df
+        rm -f kernels/train_Nf*.npy train_Nf*.npy train_Nf*.json 2>/dev/null || true
+    fi
     QMLTPU_CHI=${QMLTPU_CHI:-$(chi_for_d $d)} QMLTPU_SIM_BATCH=${QMLTPU_SIM_BATCH:-10} \
         python -m qml_cutensornet_tpu.cli.main_no_test "GPU" $nf $r $g $d $ntr $ntr $s $df
 done

@@ -17,6 +17,12 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 [ -f datasets/elliptic_preproc.csv ] || python -m qml_cutensornet_tpu.cli.make_synthetic
 
 for nf in ${NFS:-30 60 90 120 150 165}; do
+# Prewarm once per nf (programs are shared across gamma and dataset size;
+# only the qubit count changes shapes). PREWARM=0 disables.
+if [ "${PREWARM:-1}" = "1" ]; then
+    python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r 1.0 $d $ntr $ntr $s $df
+    rm -f kernels/train_Nf*.npy train_Nf*.npy train_Nf*.json 2>/dev/null || true
+fi
 for g in ${GAMMAS:-0.1 0.5 1.0}; do
     python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
 done

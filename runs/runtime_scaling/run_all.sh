@@ -21,6 +21,15 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 for mesh in ${MESHES:-1 2 4 8}; do
     ntr=$((${NTR_BASE:-100} * mesh))
+    # Prewarm: the compiled programs are dataset-size independent (fixed
+    # chunk/tile shapes), so a small run populates the persistent XLA cache
+    # and the recorded run below is warm — steady-state timing, like the
+    # reference's native backends which have no JIT compile. PREWARM=0
+    # disables.
+    if [ "${PREWARM:-1}" = "1" ]; then
+        QMLTPU_MESH=$mesh python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d 16 16 $s $df
+        rm -f kernels/train_Nf*.npy train_Nf*.npy train_Nf*.json 2>/dev/null || true
+    fi
     QMLTPU_MESH=$mesh python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
     # Keep the parseable run-info name; the _m suffix lands in the dataset
     # field, which to_csv treats as free text.
