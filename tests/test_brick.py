@@ -91,3 +91,24 @@ def test_brick_f32_parity_and_gram_integration():
         k = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=8, tile=8)
         assert np.abs(np.diag(k) - 1).max() < 1e-6  # diag-normalized exactly
         assert np.abs(k - kd).max() < tol, routing
+
+
+def test_brick_sharded_matches_single_device():
+    """Brick schedules run through the sharded (shard_map + ppermute ring)
+    path unchanged: the mesh-constrained brick simulator feeds the same
+    ring as the stream engine."""
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.parallel.gram import build_kernel_matrix_sharded
+    from qml_cutensornet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    n = 8
+    emap = entanglement_graph(n, 2)
+    ansatz = KernelStateAnsatz(n, 2, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(16, n))
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    mesh = make_mesh(4)
+    k_sh = build_kernel_matrix_sharded(ansatz, X, cfg=cfg, mesh=mesh)
+    k_1 = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=16, tile=16)
+    np.testing.assert_allclose(k_sh, k_1, atol=5e-5)
