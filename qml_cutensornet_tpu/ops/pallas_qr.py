@@ -63,13 +63,14 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
         return False
     if dtype != jnp.float32:
         return False
-    # Minimum m (= 2*chi) for kernel eligibility. Lowering to 32 also routes
-    # the staged-chi RAMP-UP stages through the kernel: measured 3.17 ->
-    # 2.73 s on the 32q bench, but the changed early-stage numerics moved
-    # max_abs_err_vs_f64_golden from 4.8e-7 into the 1-2e-6 mask-boundary
-    # flicker band (docs/PARITY.md). Default keeps the parity-grade
-    # number; set QMLTPU_PALLAS_QR_MIN_M=32 to trade ~0.4 s for it.
-    min_m = int(os.environ.get("QMLTPU_PALLAS_QR_MIN_M", "128"))
+    # Minimum m (= 2*chi) for kernel eligibility. 32 routes the staged-chi
+    # RAMP-UP stages through the kernel too (measured round 2: 3.17 ->
+    # 2.73 s on the 32q bench). Round 2 shipped 128 because the ramp-stage
+    # numerics moved the bench parity number into a 1-2e-6 band — root-
+    # caused in round 3 as the normalization-path diagonal artifact
+    # (docs/PARITY.md), fixed in models/gram.py, so the fast default is
+    # safe now.
+    min_m = int(os.environ.get("QMLTPU_PALLAS_QR_MIN_M", "32"))
     if k % PANEL != 0 or m % 8 != 0 or m < min_m:
         return False
     # Upper gate: at k > 128 the VMEM-resident buffers stop fitting even

@@ -107,6 +107,19 @@ def apply_diag_real_sites(state: VidalState, phases: Cpx) -> VidalState:
     return state._replace(tensors=Cpx(upd(t.re, mid.re), upd(t.im, mid.im)))
 
 
+def _pair_chunk(K: int, chi: int, batch: int) -> int:
+    """Pairs per sub-step within a brick layer. At large chi the layer's
+    theta intermediates ([B, K, chi, 2, 2, chi] pairs of f32 arrays)
+    dominate HBM — chunk pairs so one sub-step's live set stays ~1 GB-
+    scale while each factorization is still MXU-saturating on its own.
+    All chunks of a layer are disjoint site pairs, so sequential sub-steps
+    are exact."""
+    budget_elems = 1 << 27  # ~0.5G f32 elements across the chunk's thetas
+    per_pair = 4 * chi * chi * 2 * max(batch, 1)  # theta elems/pair (re+im)
+    kc = max(1, budget_elems // max(per_pair, 1))
+    return min(K, kc)
+
+
 def brick_layer(
     state: VidalState,
     parity,
@@ -116,19 +129,42 @@ def brick_layer(
     cfg: SimConfig,
 ) -> VidalState:
     """One brick layer: simultaneous two-site updates on all pairs
-    ``(parity + 2k, parity + 2k + 1)``, k in [0, K).
+    ``(parity + 2k, parity + 2k + 1)``, k in [0, K), processed in
+    memory-bounded pair chunks (:func:`_pair_chunk`).
 
     ``parity`` traced scalar int32; ``swap_w`` traced scalar (1.0 = fused
     XXPhase@SWAP network step, 0.0 = plain XXPhase brick); ``active [K]``
     bool (shared across the batch — inactive pairs are exact no-ops via
     select); ``thetas [B, K]`` per-sample angles (0 on non-firing pairs).
     """
+    K = active.shape[0]
+    chi = state.tensors.re.shape[2]
+    kc = _pair_chunk(K, chi, state.tensors.re.shape[0])
+    for k0 in range(0, K, kc):
+        sl = slice(k0, min(K, k0 + kc))
+        state = _brick_pairs(
+            state, parity, k0, swap_w, active[sl], thetas[:, sl], cfg
+        )
+    return state
+
+
+def _brick_pairs(
+    state: VidalState,
+    parity,
+    k_off: int,
+    swap_w,
+    active,
+    thetas,
+    cfg: SimConfig,
+) -> VidalState:
+    """Update the pair-index range [k_off, k_off + len(active)) of one
+    brick layer (see :func:`brick_layer`)."""
     t = state.tensors
     B, n_p, chi = t.re.shape[0], t.re.shape[1], t.re.shape[2]
     K = active.shape[0]
     rdt = cfg.real_dtype
 
-    idx = parity + 2 * jnp.arange(K, dtype=jnp.int32)  # left sites [K]
+    idx = parity + 2 * (k_off + jnp.arange(K, dtype=jnp.int32))  # left sites
     take_s = lambda x, i: jnp.take(x, i, axis=1)
     a = cpx.tmap(lambda x: take_s(x, idx), t)  # [B, K, chi, 2, chi]
     b = cpx.tmap(lambda x: take_s(x, idx + 1), t)
