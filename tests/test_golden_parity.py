@@ -61,3 +61,19 @@ def test_f32_engine_error_budget(golden_16q):
                     subspace_iters=1)
     k = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=5, tile=5)
     assert np.abs(k - k_gold).max() < 1e-6
+
+
+@pytest.mark.parametrize("chi", [48, 96])
+def test_f32_parity_holds_off_power_of_two_caps(golden_16q, chi):
+    """Regression for the round-2 "chi flicker": non-power-of-two caps must
+    meet the 1e-6 bar too. The former ~3e-6 deviation was the
+    normalization-path diagonal artifact (state norms vs tile scan rounding
+    differently); diag-based normalization makes the cap irrelevant and the
+    diagonal exactly 1 (docs/PARITY.md round-3 section)."""
+    nq, reps, gamma, emap, X, k_gold = golden_16q
+    ansatz = KernelStateAnsatz(nq, reps, gamma, emap)
+    cfg = SimConfig(chi=chi, precision="f32", svd_method="subspace",
+                    subspace_iters=1)
+    k = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=5, tile=5)
+    assert np.abs(np.diag(k) - 1.0).max() < 1e-6
+    assert np.abs(k - k_gold).max() < 1e-6
