@@ -234,14 +234,11 @@ def build_kernel_matrix(
     y_ranges = _tile_ranges(len_y_pad, tile)
     x_ranges = _tile_ranges(len_x_pad, tile)
     symmetric = Y is None
-    # Fused VMEM-resident Pallas kernel where supported (~2x over the XLA
-    # scan); requires lane-aligned chi and full f32 precision semantics.
-    from qml_cutensornet_tpu.ops.pallas_tile import pallas_tile_supported
-
-    # Gate on the ACTUAL working chi: the staged-chi simulator may return
-    # tensors padded below cfg.chi for low-entanglement schedules.
-    chi_run = int(ax.re.shape[2])
-    use_pallas = pallas_tile_supported(chi_run) and cfg.matmul_precision == "highest"
+    # Tile contraction: the XLA transfer-matrix scan (models/simulate.py
+    # tile_overlaps_sq). A VMEM-resident Pallas tile kernel was measured
+    # SLOWER in round 2 (428 vs 149 ms at chi=64-padded-128) and cannot fit
+    # VMEM at chi >= 256; it was retired in round 3 (docs/ROADMAP.md has
+    # the measured table and rationale).
     for (y0, y1) in y_ranges:
         for (x0, x1) in x_ranges:
             if symmetric and x0 > y0:
@@ -251,12 +248,7 @@ def build_kernel_matrix(
             t0 = time.perf_counter()
             ay_blk = cpx.tmap(lambda t: t[y0:y1], ay)
             ax_blk = cpx.tmap(lambda t: t[x0:x1], ax)
-            if use_pallas:
-                from qml_cutensornet_tpu.ops.pallas_tile import tile_overlaps_sq_padded
-
-                block = tile_overlaps_sq_padded(ay_blk, ax_blk)
-            else:
-                block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
+            block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
             tile_pairs.append(

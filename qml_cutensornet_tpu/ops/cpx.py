@@ -173,7 +173,7 @@ def _pallas_orth_eligible(v: Cpx) -> bool:
 
 def _blocked_orth_eligible(v: Cpx) -> bool:
     """Large-chi f32 TPU orthonormalization routes to the streaming blocked
-    BCGS2 + CholeskyQR2 path (ops/blocked_qr.py): above the Pallas kernel's
+    BCGS2 + scanned-MGS2 path (ops/blocked_qr.py): above the Pallas kernel's
     VMEM/unroll ceiling (k > 128), XLA Householder QR's sequential panel
     loop is the known catastrophic path on TPU. QMLTPU_BLOCKED_QR=0
     disables; =force enables on any platform/size (probing)."""

@@ -77,7 +77,7 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
     # with batch blocking (chi=1024 needs 64 MB of block buffers alone,
     # ~170 MB scoped) and the UNROLLED panel/MGS loops blow up Mosaic
     # compile time. Large shapes route to the streaming blocked BCGS2 +
-    # CholeskyQR2 path instead (ops/blocked_qr.py).
+    # scanned-MGS2 path instead (ops/blocked_qr.py).
     if k > 128:
         return False
     try:
