@@ -108,6 +108,12 @@ def crossover_csv(raw_dir: str, out_csv: str, with_mem: bool = True) -> pd.DataF
         }
         if with_mem:
             row["avg_mps_mem"] = prof["avg_mps_mem"][0]
+        # Engine-config tag: campaign runs suffix the run-info name (e.g.
+        # "..._elliptic_preproc_brick_chi128"); the positional parser folds
+        # the suffix into "dataset". Kept as a trailing column (the
+        # reference-schema columns come first) so multiple configs of the
+        # same (nf, d) point stay distinguishable.
+        row["config"] = params["dataset"]
         rows.append(row)
     df = pd.DataFrame(rows)
     df.to_csv(out_csv, index=False)

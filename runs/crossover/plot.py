@@ -8,8 +8,18 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import pandas as pd
 
-gpu = pd.read_csv("gpu_results.csv").sort_values("neighbours")
-cpu = pd.read_csv("cpu_results.csv").sort_values("neighbours")
+def best_per_d(df):
+    """One row per interaction distance: the fastest recorded engine
+    config (campaign runs record several configs per (nf, d) point,
+    distinguished by the trailing "config" column)."""
+    return (
+        df.loc[df.groupby("neighbours")["median_mps_time"].idxmin()]
+        .sort_values("neighbours")
+    )
+
+
+gpu = best_per_d(pd.read_csv("gpu_results.csv"))
+cpu = best_per_d(pd.read_csv("cpu_results.csv"))
 
 fig, ax = plt.subplots()
 ax.errorbar(gpu["neighbours"], gpu["median_mps_time"],
