@@ -48,27 +48,68 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+def _chi_bucket(max_chi: int, padded_chi: int) -> int:
+    """Smallest lane-aligned (multiple-of-128) chi >= the batch's actual
+    tracked rank, capped at the simulator's padding. Slicing MPS tensors
+    down to this is LOSSLESS: bond padding beyond each bond's kept rank is
+    exact zeros by the engine invariant (docs/DESIGN.md numerics ledger).
+    Small-chi configs (padded_chi <= 128) are returned unchanged so their
+    compiled tile programs stay warm."""
+    b = max(128, -(-int(max_chi) // 128) * 128)
+    return min(b, padded_chi)
+
+
 def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: int):
     """Simulate all datapoint circuits, ``sim_batch`` at a time, in one
     compiled XLA program per chunk. Returns (tensors [N, n, chi, 2, chi],
-    fidelities [N], max_chis [N], per_batch_times list)."""
+    fidelities [N], max_chis [N], per_batch_times list).
+
+    Large-chi memory: each batch is sliced to its chi bucket (see
+    ``_chi_bucket``) and fetched to HOST memory, so HBM never holds more
+    than one in-flight batch at full padding — at chi=1024, nq=100, ten
+    states at full padding are 15.6 GB, more than a v5e's HBM. The
+    assembled result lives on host (numpy) when it exceeds
+    ``QMLTPU_STATES_DEVICE_BYTES`` (default 6e9); the tile loop then
+    uploads one tile block per dispatch instead."""
     n_pts = features.shape[0]
     padded = _pad_rows(np.asarray(features, dtype=np.float64), sim_batch)
     sim = make_chunked_simulator(schedule, cfg)
     tensors, fids, chis, batch_times = [], [], [], []
+    buckets = []
     for start in range(0, padded.shape[0], sim_batch):
         chunk = padded[start : start + sim_batch]
         t0 = time.perf_counter()
         out = sim(chunk)
         out = jax.block_until_ready(out)
         batch_times.append(time.perf_counter() - t0)
-        tensors.append(out.tensors)
+        batch_chis = np.asarray(jnp.max(out.bond_dims, axis=-1))
+        c = _chi_bucket(int(batch_chis.max(initial=1)), out.tensors.re.shape[2])
+        buckets.append(c)
+        t = out.tensors
+        if c < t.re.shape[2]:
+            t = cpx.tmap(lambda a: a[:, :, :c, :, :c], t)
+        # Host fetch: frees the batch's HBM before the next sim dispatch.
+        tensors.append(Cpx(np.asarray(t.re), np.asarray(t.im)))
         fids.append(np.asarray(out.fidelity))
-        chis.append(np.asarray(jnp.max(out.bond_dims, axis=-1)))
-    tensors = Cpx(
-        jnp.concatenate([t.re for t in tensors], axis=0)[:n_pts],
-        jnp.concatenate([t.im for t in tensors], axis=0)[:n_pts],
-    )
+        chis.append(batch_chis)
+    c = max(buckets)
+
+    def _assemble(parts):  # host-side: pad each batch to the global bucket
+        parts = [
+            np.pad(p, ((0, 0), (0, 0), (0, c - p.shape[2]), (0, 0), (0, c - p.shape[4])))
+            if p.shape[2] < c
+            else p
+            for p in parts
+        ]
+        return np.concatenate(parts, axis=0)[:n_pts]
+
+    re = _assemble([t.re for t in tensors])
+    im = _assemble([t.im for t in tensors])
+    device_limit = float(os.environ.get("QMLTPU_STATES_DEVICE_BYTES", "6e9"))
+    if 2 * re.nbytes <= device_limit:
+        tensors = Cpx(jnp.asarray(re), jnp.asarray(im))
+    else:
+        tensors = Cpx(re, im)  # host-resident; tile loop uploads per block
     fids = np.concatenate(fids)[:n_pts]
     chis = np.concatenate(chis)[:n_pts]
     return tensors, fids, chis, batch_times
@@ -196,8 +237,11 @@ def build_kernel_matrix(
         if t.re.shape[0] == target:
             return t
         pad = target - t.re.shape[0]
+        # Host-resident batches (large chi, see simulate_dataset) must pad
+        # with np: jnp.pad would silently upload the whole array to HBM.
+        xp = np if isinstance(t.re, np.ndarray) else jnp
         return cpx.tmap(
-            lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)), t
+            lambda a: xp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)), t
         )
 
     ay = _pad_states(ay, len_y_pad)
@@ -246,8 +290,33 @@ def build_kernel_matrix(
             if ckpt_file is not None and kernel_mat[y0, x0] != 0:
                 continue  # tile already in the checkpoint (cpu:251-253)
             t0 = time.perf_counter()
-            ay_blk = cpx.tmap(lambda t: t[y0:y1], ay)
-            ax_blk = cpx.tmap(lambda t: t[x0:x1], ax)
+            # Stage blocks to device EXPLICITLY (no-op when device-resident)
+            # and share the buffer on symmetric diagonal tiles: two separate
+            # host->HBM uploads of the same block would double its footprint
+            # exactly where the tile arguments are largest. Host-resident
+            # blocks are additionally trimmed to the TILE's own chi bucket
+            # (lossless — exact-zero padding invariant), so one
+            # cap-saturating state elsewhere in the batch cannot blow up
+            # every tile's upload; the few distinct bucket shapes each
+            # compile once.
+            if isinstance(ay.re, np.ndarray):
+                c_t = _chi_bucket(
+                    int(
+                        max(
+                            chi_y[y0:min(y1, len_y)].max(initial=1),
+                            chi_x[x0:min(x1, len_x)].max(initial=1),
+                        )
+                    ),
+                    ay.re.shape[2],
+                )
+                trim = lambda t: jnp.asarray(t[:, :, :c_t, :, :c_t])
+            else:
+                trim = jnp.asarray
+            ay_blk = cpx.tmap(lambda t: trim(t[y0:y1]), ay)
+            if symmetric and x0 == y0:
+                ax_blk = ay_blk
+            else:
+                ax_blk = cpx.tmap(lambda t: trim(t[x0:x1]), ax)
             block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)

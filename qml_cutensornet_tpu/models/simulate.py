@@ -718,12 +718,19 @@ def state_norms_sq(a: Cpx, precision: str = "highest"):
                 jnp.zeros((chi, chi), re.dtype),
             )
 
-            def step(m, ts):
-                t = Cpx(ts[0], ts[1])
+            # Index scan + dynamic slice (not scanning the arrays as xs):
+            # under vmap, array xs get batch-transposed into full site-major
+            # HLO-temp copies of the whole batch (same OOM class as
+            # tile_overlaps_sq below; 2 x 1.9 GB at chi=512, B=10, n=100).
+            def step(m, i):
+                t = Cpx(
+                    lax.dynamic_index_in_dim(re, i, axis=0, keepdims=False),
+                    lax.dynamic_index_in_dim(im, i, axis=0, keepdims=False),
+                )
                 tm = cpx.einsum("ab,bsd->asd", m, t)
                 return cpx.einsum("asc,asd->cd", cpx.conj(t), tm), None
 
-            m, _ = lax.scan(step, m, (re, im))
+            m, _ = lax.scan(step, m, jnp.arange(re.shape[0]))
             return m.re[0, 0]
 
         return jax.vmap(one)(a.re, a.im)
@@ -783,16 +790,20 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
             )
             return m2, None
 
-        site_major = lambda t: jnp.moveaxis(t, 1, 0)
-        m, _ = lax.scan(
-            step,
-            m0,
-            (
-                site_major(ay.re),
-                site_major(ay.im),
-                site_major(ax.re),
-                site_major(ax.im),
-            ),
-        )
+        # Scan over a site INDEX and slice each site's tensors on the fly:
+        # feeding site-major transposes of the whole batches as scan xs
+        # materializes four full relaid-out copies as HLO temps (4 x 1.9 GB
+        # at chi=512, B=10, n=100 — OOMs a 16 GB chip on top of the live
+        # arguments). Per-step dynamic slices are [B, chi, 2, chi] (~40 MB).
+        n_sites = ay.re.shape[1]
+
+        def step_i(m, i):
+            ts = tuple(
+                lax.dynamic_index_in_dim(t, i, axis=1, keepdims=False)
+                for t in (ay.re, ay.im, ax.re, ax.im)
+            )
+            return step(m, ts)
+
+        m, _ = lax.scan(step_i, m0, jnp.arange(n_sites))
         ov = cpx.tmap(lambda t: t[:, :, 0, 0], m)
         return cpx.abs2(ov)

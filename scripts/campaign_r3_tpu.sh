@@ -47,10 +47,12 @@ d10brick)
     ;;
 d12)
     # Reference: 237.3 s/circuit, avg chi 595.6 (A100, crossover d=12).
-    run tracked_chi1024_d12 QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=10 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
+    # tile=5: at chi-bucket ~640+ a 10-state tile block's host->HBM upload
+    # would not leave room for the contraction temps.
+    run tracked_chi1024_d12 QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=5 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
     ;;
 d12brick)
-    run brick_chi1024_d12 QMLTPU_ROUTING=brick QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=10 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
+    run brick_chi1024_d12 QMLTPU_ROUTING=brick QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=5 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
     ;;
 *)
     echo "usage: $0 {brick100|d10|d10brick|d12|d12brick}" >&2
