@@ -47,9 +47,20 @@ d10brick)
     ;;
 d12)
     # Reference: 237.3 s/circuit, avg chi 595.6 (A100, crossover d=12).
+    # chi cap 512 first: staged-chi stage sets are STRUCTURAL (they ramp
+    # to the cap whatever the data does), while the synthetic dataset
+    # tracks well below the Elliptic chi at equal d (d10: avg 183 vs ref
+    # 320) — so 512 is expected non-binding here AND every chunk-body
+    # shape is warm from the d10 run. Escalate to d12x1024 only if the
+    # recorded max chi saturates the cap.
+    run tracked_chi512_d12 QMLTPU_CHI=512 QMLTPU_SIM_BATCH=5 QMLTPU_TILE=10 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
+    ;;
+d12x1024)
+    # chi=1024 needs sim_batch=1: at batch 2 the scan carry's state
+    # double-buffer plus theta/QR temps exceed HBM (measured OOM).
     # tile=5: at chi-bucket ~640+ a 10-state tile block's host->HBM upload
     # would not leave room for the contraction temps.
-    run tracked_chi1024_d12 QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=5 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
+    run tracked_chi1024_d12 QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=1 QMLTPU_TILE=5 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
     ;;
 d12brick)
     run brick_chi1024_d12 QMLTPU_ROUTING=brick QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=2 QMLTPU_TILE=5 -- TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv
