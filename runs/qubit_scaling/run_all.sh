@@ -19,14 +19,16 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 for nf in ${NFS:-30 60 90 120 150 165}; do
 # Prewarm once per nf (programs are shared across gamma and dataset size;
 # only the qubit count changes shapes). PREWARM=0 disables.
+# NOTE: cleanups are nf-SPECIFIC and each nf's records move to raw/
+# immediately — a global "rm train_Nf*.json" here once deleted the
+# previous nf's freshly recorded JSONs.
 if [ "${PREWARM:-1}" = "1" ]; then
     python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r 1.0 $d $ntr $ntr $s $df
-    rm -f kernels/train_Nf*.npy train_Nf*.npy train_Nf*.json 2>/dev/null || true
+    rm -f kernels/train_Nf${nf}_*.npy train_Nf${nf}_*.npy train_Nf${nf}_*.json 2>/dev/null || true
 fi
 for g in ${GAMMAS:-0.1 0.5 1.0}; do
     python -m qml_cutensornet_tpu.cli.main_no_test "TPU" $nf $r $g $d $ntr $ntr $s $df
 done
+mv train_Nf${nf}_*.json runs/qubit_scaling/raw/
+rm -f kernels/train_Nf${nf}_*.npy train_Nf${nf}_*.npy
 done
-
-mv train_Nf*.json runs/qubit_scaling/raw/
-rm -f train_Nf*.npy
