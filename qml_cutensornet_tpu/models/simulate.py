@@ -389,6 +389,94 @@ def _make_chunked_stream_simulator(
     return simulate
 
 
+def brick_stage_plan(schedule, cfg: SimConfig, staged: bool):
+    """Staged chi for the brick engine: host-side replay of per-layer
+    structural bond bounds -> ``(rep_stages, final_chi)``.
+
+    A two-site update across real bond s yields dim <= min(2*left_bond,
+    2*right_bond, position cut, cap), with PRE-layer neighbor dims (all
+    pairs of a brick read untouched opposite-parity bonds). Shared by the
+    whole-chain brick simulator below and the site-sharded one
+    (parallel/sharded_mps.py) — identical stage sequences keep the two
+    paths numerically identical."""
+    n = schedule.num_qubits
+    rep_stages: list[list[int]] = []
+    if staged:
+        floor_chi = min(8, cfg.chi)
+        bd = np.ones(max(n - 1, 1))
+        cut = np.array(
+            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
+        )
+        for rep in schedule.bricks:
+            stages = []
+            for li in range(len(rep.parities)):
+                par = int(rep.parities[li])
+                new_bd = bd.copy()
+                for k in np.nonzero(rep.active[li])[0]:
+                    s = par + 2 * int(k) - 1  # real left site
+                    if not (0 <= s <= n - 2):
+                        continue
+                    lb = bd[s - 1] if s > 0 else 1.0
+                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
+                    new_bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
+                bd = new_bd
+                bound = int(bd.max())
+                stage = floor_chi
+                while stage < bound:
+                    stage *= 2
+                stages.append(min(stage, cfg.chi))
+            rep_stages.append(stages)
+    else:
+        rep_stages = [[cfg.chi] * len(r.parities) for r in schedule.bricks]
+    final_chi = min(8, cfg.chi) if staged else cfg.chi
+    for st_list in rep_stages:
+        for s in st_list:
+            final_chi = s
+    return rep_stages, final_chi
+
+
+def brick_chunk_plan(schedule, rep_stages, layer_chunk: int, pairs: int):
+    """Chunk the brick layer stream into runs of consecutive same-stage
+    layers within one rep, padded to ``layer_chunk`` with inactive
+    all-false layers (exact no-ops under the active select) so ONE
+    compiled chunk body per stage chi serves every chunk. Schedule arrays
+    are padded to ``pairs`` pair columns (>= schedule.pairs_per_layer; the
+    site-sharded engine rounds the pair count up to a device multiple).
+
+    Returns ``(chunks2, chunk_arrays)`` with chunks2 entries
+    ``(rep_idx, layer_start, layer_end, stage)`` and chunk_arrays entries
+    ``(parities [C], swaps [C] f32, actives [C, pairs] bool)``."""
+    K = schedule.pairs_per_layer
+    chunks2 = []
+    for ri, (rep, stages) in enumerate(zip(schedule.bricks, rep_stages)):
+        L = len(rep.parities)
+        i = 0
+        while i < L:
+            j = i + 1
+            while j < L and j - i < layer_chunk and stages[j] == stages[i]:
+                j += 1
+            chunks2.append((ri, i, j, stages[i]))
+            i = j
+
+    chunk_arrays = []
+    for (ri, i, j, stage) in chunks2:
+        rep = schedule.bricks[ri]
+        pad = layer_chunk - (j - i)
+        act = np.concatenate([rep.active[i:j], np.zeros((pad, K), bool)])
+        if pairs > K:
+            act = np.pad(act, ((0, 0), (0, pairs - K)))
+        chunk_arrays.append(
+            (
+                np.concatenate([rep.parities[i:j], np.zeros(pad, np.int32)]),
+                np.concatenate(
+                    [rep.swaps[i:j].astype(np.float32), np.zeros(pad, np.float32)]
+                ),
+                act,
+            )
+        )
+    return chunks2, chunk_arrays
+
+
 def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=None):
     """Brick-parallel batched simulator: ``features [B, n] -> MPS`` via the
     Vidal/Hastings engine (ops/vidal.py) over a :class:`BrickSchedule`.
@@ -424,42 +512,7 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
     rdt = cfg.real_dtype
     gamma = schedule.gamma
 
-    # --- Staged chi: per-layer structural bond bounds (host-side replay).
-    # A two-site update across real bond s yields dim <= min(2*left_bond,
-    # 2*right_bond, position cut, cap), with PRE-layer neighbor dims (all
-    # pairs of a brick read untouched opposite-parity bonds).
-    rep_stages: list[list[int]] = []
-    if staged:
-        floor_chi = min(8, cfg.chi)
-        bd = np.ones(max(n - 1, 1))
-        cut = np.array(
-            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
-        )
-        for rep in schedule.bricks:
-            stages = []
-            for li in range(len(rep.parities)):
-                par = int(rep.parities[li])
-                new_bd = bd.copy()
-                for k in np.nonzero(rep.active[li])[0]:
-                    s = par + 2 * int(k) - 1  # real left site
-                    if not (0 <= s <= n - 2):
-                        continue
-                    lb = bd[s - 1] if s > 0 else 1.0
-                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
-                    new_bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
-                bd = new_bd
-                bound = int(bd.max())
-                stage = floor_chi
-                while stage < bound:
-                    stage *= 2
-                stages.append(min(stage, cfg.chi))
-            rep_stages.append(stages)
-    else:
-        rep_stages = [[cfg.chi] * len(r.parities) for r in schedule.bricks]
-    final_chi = min(8, cfg.chi) if staged else cfg.chi
-    for st_list in rep_stages:
-        for s in st_list:
-            final_chi = s
+    rep_stages, final_chi = brick_stage_plan(schedule, cfg, staged)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -529,35 +582,10 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
         fns[chi_s] = (init_batch, rz_batch, chunk_batch, pad_to, finalize)
         return fns[chi_s]
 
-    # --- Chunking: runs of consecutive same-stage layers within one rep,
-    # padded to layer_chunk with inactive all-false layers (exact no-ops
-    # under the active select). Chunk arrays are passed as ARGUMENTS (not
-    # baked as constants) so ONE compiled body per stage chi serves every
-    # chunk, exactly like the stream engine.
-    chunks2 = []  # (rep_idx, layer_start, layer_end, stage)
-    for ri, (rep, stages) in enumerate(zip(schedule.bricks, rep_stages)):
-        L = len(rep.parities)
-        i = 0
-        while i < L:
-            j = i + 1
-            while j < L and j - i < layer_chunk and stages[j] == stages[i]:
-                j += 1
-            chunks2.append((ri, i, j, stages[i]))
-            i = j
-
-    chunk_arrays = []
-    for (ri, i, j, stage) in chunks2:
-        rep = schedule.bricks[ri]
-        pad = layer_chunk - (j - i)
-        chunk_arrays.append(
-            (
-                np.concatenate([rep.parities[i:j], np.zeros(pad, np.int32)]),
-                np.concatenate(
-                    [rep.swaps[i:j].astype(np.float32), np.zeros(pad, np.float32)]
-                ),
-                np.concatenate([rep.active[i:j], np.zeros((pad, K), bool)]),
-            )
-        )
+    # --- Chunking (shared with the site-sharded engine). Chunk arrays are
+    # passed as ARGUMENTS (not baked as constants) so ONE compiled body per
+    # stage chi serves every chunk, exactly like the stream engine.
+    chunks2, chunk_arrays = brick_chunk_plan(schedule, rep_stages, layer_chunk, K)
 
     def simulate(features) -> MPS:
         x = np.asarray(features, dtype=np.float64)

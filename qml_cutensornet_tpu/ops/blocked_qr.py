@@ -64,7 +64,10 @@ def _mgs2_panel(a: Cpx, n2_orig, rdt):
     from qml_cutensornet_tpu.ops import cpx
 
     m, p = a.re.shape
-    q0 = (jnp.zeros((m, p), rdt), jnp.zeros((m, p), rdt))
+    # Carry init derived from the input so it inherits the varying-manual-
+    # axes type under shard_map (see ops/svd._greedy_basis).
+    one = a.re.reshape(-1)[0] * 0.0 + 1.0
+    q0 = (jnp.zeros((m, p), rdt) * one, jnp.zeros((m, p), rdt) * one)
 
     def step(carry, inp):
         q_re, q_im, t = carry
@@ -84,7 +87,7 @@ def _mgs2_panel(a: Cpx, n2_orig, rdt):
 
     (q_re, q_im, _), _ = lax.scan(
         step,
-        (*q0, jnp.zeros((), jnp.int32)),
+        (*q0, jnp.zeros((), jnp.int32) + (one.astype(jnp.int32) - 1)),
         (a.re.T, a.im.T, n2_orig.astype(rdt)),
     )
     return Cpx(q_re, q_im)

@@ -92,8 +92,16 @@ def _greedy_basis(cand: Cpx, svs, keep: int):
     """
     m, nc = cand.re.shape
     rdt = cand.re.dtype
-    q0 = (jnp.zeros((m, keep), rdt), jnp.zeros((m, keep), rdt))
-    carry0 = (*q0, jnp.zeros((keep,), rdt), jnp.zeros((), jnp.int32))
+    # Derive the carry init from the input so it inherits the input's
+    # varying-manual-axes type under shard_map (a constant init would make
+    # the scan carry types mismatch inside the site-sharded engine).
+    one = cand.re.reshape(-1)[0] * 0.0 + 1.0
+    q0 = (jnp.zeros((m, keep), rdt) * one, jnp.zeros((m, keep), rdt) * one)
+    carry0 = (
+        *q0,
+        jnp.zeros((keep,), rdt) * one,
+        jnp.zeros((), jnp.int32) + (one.astype(jnp.int32) - 1),
+    )
 
     def step(carry, inp):
         q_re, q_im, svq, r = carry

@@ -148,31 +148,20 @@ def brick_layer(
     return state
 
 
-def _brick_pairs(
-    state: VidalState,
-    parity,
-    k_off: int,
-    swap_w,
-    active,
-    thetas,
-    cfg: SimConfig,
-) -> VidalState:
-    """Update the pair-index range [k_off, k_off + len(active)) of one
-    brick layer (see :func:`brick_layer`)."""
-    t = state.tensors
-    B, n_p, chi = t.re.shape[0], t.re.shape[1], t.re.shape[2]
-    K = active.shape[0]
-    rdt = cfg.real_dtype
+def update_pairs(a: Cpx, b: Cpx, lam_l, thetas, swap_w, cfg: SimConfig):
+    """Batched Hastings two-site updates on already-gathered pairs.
 
-    idx = parity + 2 * (k_off + jnp.arange(K, dtype=jnp.int32))  # left sites
-    take_s = lambda x, i: jnp.take(x, i, axis=1)
-    a = cpx.tmap(lambda x: take_s(x, idx), t)  # [B, K, chi, 2, chi]
-    b = cpx.tmap(lambda x: take_s(x, idx + 1), t)
-    # Left lambda of pair k sits on bond idx-1 (the opposite parity — never
-    # written by this brick). idx==0 only occurs for the always-inactive
-    # leading dummy pair; clip and let select discard it.
-    lam_l = take_s(state.lams, jnp.maximum(idx - 1, 0))  # [B, K, chi]
-    lam_l = jnp.where((idx > 0)[None, :, None], lam_l, state.lams[:, :1] * 0 + 1.0)
+    ``a``/``b`` [B, K, chi, 2, chi] Cpx (left/right B-form site tensors of
+    each pair), ``lam_l`` [B, K, chi] (Schmidt weights on each pair's LEFT
+    bond), ``thetas`` [B, K] XXPhase angles, ``swap_w`` traced scalar
+    (1.0 = fused XXPhase@SWAP network step, 0.0 = plain XXPhase).
+
+    Returns ``(new_a, new_b, s, kf, rank)`` with no active-pair select and
+    no scatter — callers own gather/select/scatter (the whole-chain engine
+    below gathers by padded site index; the site-sharded engine,
+    parallel/sharded_mps.py, gathers from its local block + halo)."""
+    B, K, chi = a.re.shape[0], a.re.shape[1], a.re.shape[2]
+    rdt = cfg.real_dtype
 
     # theta~ = G (a b): gate built per (sample, pair). XXSW = XX with
     # columns 1,2 exchanged (models/simulate.py uses the same trick).
@@ -202,9 +191,34 @@ def _brick_pairs(
     resh = lambda x: x.reshape(B, K, chi, 2, chi)
     new_a = cpx.tmap(resh, new_a)
     new_b = cpx.tmap(lambda x: x.reshape(B, K, chi, 2, chi), v)
-    s = s.reshape(B, K, chi)
-    kf = kf.reshape(B, K)
-    rank = rank.reshape(B, K)
+    return new_a, new_b, s.reshape(B, K, chi), kf.reshape(B, K), rank.reshape(B, K)
+
+
+def _brick_pairs(
+    state: VidalState,
+    parity,
+    k_off: int,
+    swap_w,
+    active,
+    thetas,
+    cfg: SimConfig,
+) -> VidalState:
+    """Update the pair-index range [k_off, k_off + len(active)) of one
+    brick layer (see :func:`brick_layer`)."""
+    t = state.tensors
+    K = active.shape[0]
+
+    idx = parity + 2 * (k_off + jnp.arange(K, dtype=jnp.int32))  # left sites
+    take_s = lambda x, i: jnp.take(x, i, axis=1)
+    a = cpx.tmap(lambda x: take_s(x, idx), t)  # [B, K, chi, 2, chi]
+    b = cpx.tmap(lambda x: take_s(x, idx + 1), t)
+    # Left lambda of pair k sits on bond idx-1 (the opposite parity — never
+    # written by this brick). idx==0 only occurs for the always-inactive
+    # leading dummy pair; clip and let select discard it.
+    lam_l = take_s(state.lams, jnp.maximum(idx - 1, 0))  # [B, K, chi]
+    lam_l = jnp.where((idx > 0)[None, :, None], lam_l, state.lams[:, :1] * 0 + 1.0)
+
+    new_a, new_b, s, kf, rank = update_pairs(a, b, lam_l, thetas, swap_w, cfg)
 
     # Inactive pairs: keep everything unchanged (exact no-op).
     am = active[None, :]

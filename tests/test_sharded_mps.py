@@ -1,0 +1,104 @@
+"""Site-sharded single-MPS evolution (parallel/sharded_mps.py).
+
+The reference keeps every MPS whole on one GPU (SURVEY §5 "long-context":
+sharding one state across devices is the optional TPU upgrade). These
+tests pin the halo-exchange brick engine to the whole-chain brick engine:
+both paths share stage plans, chunk plans and the per-pair factorization
+kernel (ops/vidal.update_pairs), so agreement should be at reduction-order
+noise, not truncation scale."""
+
+import numpy as np
+import pytest
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+from qml_cutensornet_tpu.models.simulate import (
+    make_chunked_simulator,
+    state_norms_sq,
+    tile_overlaps_sq,
+)
+from qml_cutensornet_tpu.parallel.mesh import make_mesh
+from qml_cutensornet_tpu.parallel.sharded_mps import (
+    make_sharded_brick_simulator,
+    padded_sites_for,
+)
+
+
+def _kernel_from(st):
+    k = np.asarray(tile_overlaps_sq(st.tensors, st.tensors))
+    dg = np.sqrt(np.diag(k))
+    return k / np.outer(dg, dg)
+
+
+@pytest.mark.parametrize(
+    "n,reps,d,ndev,chi",
+    [
+        (10, 2, 2, 8, 16),  # n_loc=2: every pair straddles or touches a halo
+        (12, 2, 4, 4, 32),
+        (9, 2, 3, 2, 16),
+        (10, 2, 6, 1, 32),  # degenerate mesh: wrap ring of one device
+    ],
+)
+def test_sharded_matches_whole_chain(n, reps, d, ndev, chi):
+    """Final tensors/lams/fidelity/bond_dims of the site-sharded engine
+    match the whole-chain brick engine (same stages, same pair kernel)."""
+    rng = np.random.default_rng(7)
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(3, n))
+    cfg = SimConfig(
+        chi=chi, truncation_error=1e-16, precision="f32",
+        svd_method="subspace", subspace_iters=1,
+    )
+    st1 = make_chunked_simulator(ansatz.schedule, cfg)(X)
+    mesh = make_mesh(ndev, axis="sp")
+    st2 = make_sharded_brick_simulator(ansatz.schedule, cfg, mesh)(X)
+
+    assert st1.tensors.re.shape == st2.tensors.re.shape
+    np.testing.assert_array_equal(
+        np.asarray(st1.bond_dims), np.asarray(st2.bond_dims)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.fidelity), np.asarray(st2.fidelity), rtol=1e-6
+    )
+    for leaf1, leaf2 in ((st1.tensors.re, st2.tensors.re), (st1.tensors.im, st2.tensors.im)):
+        np.testing.assert_allclose(
+            np.asarray(leaf1), np.asarray(leaf2), atol=2e-6, rtol=0
+        )
+
+
+def test_sharded_f64_exact_vs_whole_chain():
+    """At f64 the two engines agree to near machine precision, and the
+    normalized kernel from the sharded states matches the whole-chain one."""
+    rng = np.random.default_rng(3)
+    n, reps, d = 8, 2, 3
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(4, n))
+    cfg = SimConfig(
+        chi=2 ** (n // 2), truncation_error=1e-16, precision="f64",
+        svd_method="subspace", subspace_iters=2,
+    )
+    st1 = make_chunked_simulator(ansatz.schedule, cfg)(X)
+    st2 = make_sharded_brick_simulator(ansatz.schedule, cfg, make_mesh(4, axis="sp"))(X)
+    np.testing.assert_allclose(
+        np.asarray(st1.tensors.re), np.asarray(st2.tensors.re), atol=1e-12, rtol=0
+    )
+    k1, k2 = _kernel_from(st1), _kernel_from(st2)
+    np.testing.assert_allclose(k1, k2, atol=1e-12, rtol=0)
+    # Gathered states behave like ordinary MPS downstream.
+    norms = np.asarray(state_norms_sq(st2.tensors))
+    assert np.all(norms > 0.99)
+
+
+def test_padded_sites_for():
+    assert padded_sites_for(13, 8) == 16
+    assert padded_sites_for(13, 4) == 16
+    assert padded_sites_for(13, 1) == 14
+    assert padded_sites_for(11, 8) == 16
+    # Always strictly above odd n_p: the wrap pair must stay inactive.
+    for ndev in (1, 2, 4, 8):
+        for n_p in (9, 11, 13, 103):
+            n_s = padded_sites_for(n_p, ndev)
+            assert n_s > n_p and n_s % (2 * ndev) == 0
