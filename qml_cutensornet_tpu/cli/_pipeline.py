@@ -25,6 +25,10 @@ positional contract come from environment variables:
     QMLTPU_TILE        Gram tile side (default 32)
     QMLTPU_MESH        device count for the sharded Gram build (default:
                        all local devices when more than one)
+    QMLTPU_SHARD_MPS   "all" or a device count: shard each state's SITE
+                       axis over the mesh during brick evolution (tensor
+                       parallelism over the chain, parallel/sharded_mps.py;
+                       needs QMLTPU_ROUTING=brick, single-controller)
     QMLTPU_CHECKPOINT  1 to enable per-tile checkpoint/resume
     QMLTPU_PLATFORM    force a JAX platform (e.g. "cpu") — useful because
                        some harnesses shim the JAX_PLATFORMS env var

@@ -168,12 +168,33 @@ def _op_stream_scan(state: MPS, sites, gkinds, dirs, thetas, cfg: SimConfig):
     return state
 
 
+_site_mesh_cache: dict = {}
+
+
 def make_chunked_simulator(
     schedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
 ):
     from qml_cutensornet_tpu.models.ansatz import BrickSchedule
 
     if isinstance(schedule, BrickSchedule):
+        # QMLTPU_SHARD_MPS: "all" or an int N — shard each state's SITE
+        # axis over that many local devices (tensor parallelism over the
+        # chain, parallel/sharded_mps.py) instead of replicating every
+        # state per device. Only when no batch mesh was requested: a 2-D
+        # dp x sp mesh is not wired up.
+        sp = os.environ.get("QMLTPU_SHARD_MPS", "0")
+        if sp != "0" and mesh is None:
+            from qml_cutensornet_tpu.parallel.mesh import make_mesh
+            from qml_cutensornet_tpu.parallel.sharded_mps import (
+                make_sharded_brick_simulator,
+            )
+
+            ndev = None if sp == "all" else int(sp)
+            if ndev not in _site_mesh_cache:
+                _site_mesh_cache[ndev] = make_mesh(ndev, axis="sp")
+            return make_sharded_brick_simulator(
+                schedule, cfg, _site_mesh_cache[ndev]
+            )
         return make_brick_simulator(schedule, cfg, mesh=mesh)
     return _make_chunked_stream_simulator(schedule, cfg, chunk_len, mesh)
 

@@ -92,6 +92,24 @@ def test_sharded_f64_exact_vs_whole_chain():
     assert np.all(norms > 0.99)
 
 
+def test_shard_mps_env_knob_through_gram(monkeypatch):
+    """QMLTPU_SHARD_MPS routes build_kernel_matrix's simulation through the
+    site-sharded engine; the kernel matches the whole-chain brick path."""
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+
+    rng = np.random.default_rng(9)
+    n = 10
+    emap = entanglement_graph(n, 3)
+    ansatz = KernelStateAnsatz(n, 2, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(6, n))
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    k1 = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+    monkeypatch.setenv("QMLTPU_SHARD_MPS", "4")
+    k2 = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+    np.testing.assert_allclose(k1, k2, atol=1e-6)
+
+
 def test_padded_sites_for():
     assert padded_sites_for(13, 8) == 16
     assert padded_sites_for(13, 4) == 16
