@@ -162,13 +162,21 @@ def _layer_local(sites, lams, bdims, fid, par, sw, act, th, cfg, ndev, axis):
 def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: int = 16):
     """Site-sharded counterpart of models/simulate.make_brick_simulator:
     ``features [B, n] -> MPS`` with the state's site axis sharded over
-    ``mesh`` (1-D) during evolution; the returned MPS is gathered
-    (replicated) for the downstream tile engines. Staged-chi stages and
-    layer chunking are identical to the whole-chain brick path."""
-    if len(mesh.axis_names) != 1:
-        raise ValueError("Site sharding wants a 1-D mesh.")
-    axis = mesh.axis_names[0]
-    ndev = int(mesh.devices.size)
+    ``mesh`` during evolution; the returned MPS is gathered (replicated)
+    for the downstream tile engines. A 1-D mesh shards sites only; a 2-D
+    ``(dp, sp)`` mesh additionally batch-shards over its first axis (data
+    and tensor parallelism composed). Staged-chi stages and layer chunking
+    are identical to the whole-chain brick path."""
+    # 1-D mesh: pure site sharding. 2-D mesh (batch_axis, site_axis):
+    # batch-parallel over the first axis AND site-sharded over the second —
+    # dp x sp composed, e.g. Mesh(devices.reshape(4, 2), ("dp", "sp")).
+    if len(mesh.axis_names) == 1:
+        bp, axis = None, mesh.axis_names[0]
+    elif len(mesh.axis_names) == 2:
+        bp, axis = mesh.axis_names
+    else:
+        raise ValueError("Site sharding wants a 1-D (sp) or 2-D (dp, sp) mesh.")
+    ndev = int(mesh.shape[axis])
 
     staged = os.environ.get("QMLTPU_STAGED", "1") != "0"
     cache = getattr(schedule, "_sim_cache", None)
@@ -194,14 +202,14 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
     rep_stages, final_chi = brick_stage_plan(schedule, cfg, staged)
     chunks2, chunk_arrays = brick_chunk_plan(schedule, rep_stages, layer_chunk, K_s)
 
-    sh_sites = NamedSharding(mesh, P(None, axis))
-    sh_fid = NamedSharding(mesh, P(axis))
+    sh_sites = NamedSharding(mesh, P(bp, axis))
+    sh_fid = NamedSharding(mesh, P(axis, bp))
     sh_repl = NamedSharding(mesh, P())
     state_specs = ShardedVidalState(
-        tensors=Cpx(P(None, axis), P(None, axis)),
-        lams=P(None, axis),
-        fid=P(axis),
-        bond_dims=P(None, axis),
+        tensors=Cpx(P(bp, axis), P(bp, axis)),
+        lams=P(bp, axis),
+        fid=P(axis, bp),
+        bond_dims=P(bp, axis),
     )
 
     fns: dict = {}
@@ -258,16 +266,16 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
             chunk_shard,
             mesh=mesh,
             in_specs=(
-                Cpx(P(None, axis), P(None, axis)),
-                P(None, axis),
-                P(None, axis),
-                P(axis),
+                Cpx(P(bp, axis), P(bp, axis)),
+                P(bp, axis),
+                P(bp, axis),
+                P(axis, bp),
                 P(),
                 P(),
                 P(None, axis),  # acts [C, K_s]
-                P(None, None, axis),  # ths [C, B, K_s]
+                P(None, bp, axis),  # ths [C, B, K_s]
             ),
-            out_specs=(Cpx(P(None, axis), P(None, axis)), P(None, axis), P(None, axis), P(axis)),
+            out_specs=(Cpx(P(bp, axis), P(bp, axis)), P(bp, axis), P(bp, axis), P(axis, bp)),
         )
 
         def chunk_batch(state, pars, sws, acts, ths):

@@ -92,6 +92,33 @@ def test_sharded_f64_exact_vs_whole_chain():
     assert np.all(norms > 0.99)
 
 
+@pytest.mark.parametrize("dp,sp", [(4, 2), (2, 4)])
+def test_sharded_2d_mesh_matches_whole_chain(dp, sp):
+    """2-D (dp, sp) mesh: batch sharding and site sharding composed."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(13)
+    n, reps, d = 10, 2, 3
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(8, n))  # divisible by dp
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    st1 = make_chunked_simulator(ansatz.schedule, cfg)(X)
+    mesh = Mesh(np.array(jax.devices()[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+    st2 = make_sharded_brick_simulator(ansatz.schedule, cfg, mesh)(X)
+    np.testing.assert_array_equal(
+        np.asarray(st1.bond_dims), np.asarray(st2.bond_dims)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.tensors.re), np.asarray(st2.tensors.re), atol=2e-6, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.fidelity), np.asarray(st2.fidelity), rtol=1e-6
+    )
+
+
 def test_shard_mps_env_knob_through_gram(monkeypatch):
     """QMLTPU_SHARD_MPS routes build_kernel_matrix's simulation through the
     site-sharded engine; the kernel matches the whole-chain brick path."""
