@@ -159,14 +159,23 @@ def _layer_local(sites, lams, bdims, fid, par, sw, act, th, cfg, ndev, axis):
     return sites, lams, bdims, fid
 
 
-def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: int = 16):
+def make_sharded_brick_simulator(
+    schedule, cfg: SimConfig, mesh, layer_chunk: int = 16, gather: bool = True
+):
     """Site-sharded counterpart of models/simulate.make_brick_simulator:
     ``features [B, n] -> MPS`` with the state's site axis sharded over
     ``mesh`` during evolution; the returned MPS is gathered (replicated)
     for the downstream tile engines. A 1-D mesh shards sites only; a 2-D
     ``(dp, sp)`` mesh additionally batch-shards over its first axis (data
     and tensor parallelism composed). Staged-chi stages and layer chunking
-    are identical to the whole-chain brick path."""
+    are identical to the whole-chain brick path.
+
+    ``gather=False`` (1-D mesh only) keeps the returned tensors SITE-
+    SHARDED in the padded ``n_s`` frame (dummy sites included; bond_dims
+    likewise) for :func:`sharded_tile_overlaps_sq` — the giant-state
+    regime where per-device gathering is the thing being avoided."""
+    if not gather and len(mesh.axis_names) != 1:
+        raise ValueError("gather=False wants a 1-D site mesh.")
     # 1-D mesh: pure site sharding. 2-D mesh (batch_axis, site_axis):
     # batch-parallel over the first axis AND site-sharded over the second —
     # dp x sp composed, e.g. Mesh(devices.reshape(4, 2), ("dp", "sp")).
@@ -188,7 +197,7 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
     )
-    cache_key = ("sharded_brick", cfg, layer_chunk, mesh, staged, pallas_env)
+    cache_key = ("sharded_brick", cfg, layer_chunk, mesh, staged, pallas_env, gather)
     if cache_key in cache:
         return cache[cache_key]
 
@@ -303,6 +312,15 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
             bond_dims = state.bond_dims[:, 1:n]
             return MPS(tensors=tensors, fidelity=fid, bond_dims=bond_dims)
 
+        def finalize_sharded(state):
+            # Keep the padded n_s site frame and the site sharding; real
+            # sites live at 1..n, real bonds at 1..n-1 (slicing would
+            # re-shard, which gather=False exists to avoid).
+            fid = jnp.prod(state.fid, axis=0)
+            return MPS(
+                tensors=state.tensors, fidelity=fid, bond_dims=state.bond_dims
+            )
+
         constrain = lambda st: jax.lax.with_sharding_constraint(
             st,
             jax.tree.map(
@@ -325,6 +343,17 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
                         tensors=Cpx(sh_repl, sh_repl),
                         fidelity=sh_repl,
                         bond_dims=sh_repl,
+                    ),
+                )
+            )
+            if gather
+            else jax.jit(
+                lambda st: jax.lax.with_sharding_constraint(
+                    finalize_sharded(st),
+                    MPS(
+                        tensors=Cpx(sh_sites, sh_sites),
+                        fidelity=sh_repl,
+                        bond_dims=sh_sites,
                     ),
                 )
             ),
@@ -384,3 +413,132 @@ def make_sharded_brick_simulator(schedule, cfg: SimConfig, mesh, layer_chunk: in
     simulate.final_chi = final_chi
     cache[cache_key] = simulate
     return simulate
+
+
+def sharded_tile_overlaps_sq(
+    ay: Cpx, ax: Cpx, mesh, tile: int = 32, precision: str = "highest"
+):
+    """All-pairs squared overlaps between SITE-SHARDED MPS batches.
+
+    ``ay [By, n_s, chi, 2, chi]`` / ``ax [Bx, n_s, ...]`` are Cpx pairs of
+    global arrays sharded ``P(None, sp)`` on the site axis (the
+    ``gather=False`` output of :func:`make_sharded_brick_simulator`; dummy
+    padding sites are exact ``e0 (x) |0> (x) e0`` products, so they
+    contribute identity transfer steps and need no slicing). Returns real
+    ``[By, Bx]`` with ``|<y_i|x_j>|^2`` like
+    models/simulate.tile_overlaps_sq.
+
+    The transfer-matrix product is inherently sequential over sites, so a
+    site-sharded contraction is a device RELAY: the carry
+    ``M [tile, tile, chi, chi]`` passes d -> d+1 with each device applying
+    its local site block. One tile alone would idle D-1 devices; tiles are
+    PIPELINED down the relay instead — at stage s, device d works tile
+    ``s - d``, so after a D-stage fill every device is busy and the total
+    is ``T + D - 1`` stages for T tiles (vs T * D sequential-equivalents).
+    Comm per stage is one neighbor ppermute of M — the same
+    compute-dominated shape as the Gram ring (docs/DESIGN.md §4).
+
+    This is the contraction path for states too large to gather per-device
+    (chi >~ 2048 at nq >= 100); below that, gather + the standard tile
+    engines win on simplicity (module docstring).
+    """
+    if len(mesh.axis_names) != 1:
+        raise ValueError("sharded_tile_overlaps_sq wants a 1-D site mesh.")
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+
+    By, chi_y = ay.re.shape[0], ay.re.shape[2]
+    Bx, chi_x = ax.re.shape[0], ax.re.shape[2]
+    chi = max(chi_y, chi_x)
+    grow = lambda t: jnp.pad(
+        t, ((0, 0), (0, 0), (0, chi - t.shape[2]), (0, 0), (0, chi - t.shape[4]))
+    )
+    if chi_y < chi:
+        ay = cpx.tmap(grow, ay)
+    if chi_x < chi:
+        ax = cpx.tmap(grow, ax)
+
+    # Pad batches to tile multiples with exact-zero states (zero overlaps,
+    # sliced away below) so every relay stage has one static tile shape.
+    byp = -(-By // tile) * tile
+    bxp = -(-Bx // tile) * tile
+    pad_b = lambda t, target: jnp.pad(
+        t, ((0, target - t.shape[0]),) + ((0, 0),) * (t.ndim - 1)
+    )
+    ay = cpx.tmap(lambda t: pad_b(t, byp), ay)
+    ax = cpx.tmap(lambda t: pad_b(t, bxp), ax)
+    nyb, nxb = byp // tile, bxp // tile
+    n_tiles = nyb * nxb
+    to_right = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+    from qml_cutensornet_tpu.parallel.gram import _tile_block
+
+    def relay(ay_re, ay_im, ax_re, ax_im):
+        ay_l, ax_l = Cpx(ay_re, ay_im), Cpx(ax_re, ax_im)
+        idx = lax.axis_index(axis)
+        n_loc = ay_l.re.shape[1]
+        one = ay_l.re.reshape(-1)[0] * 0.0 + 1.0
+        m0re = jnp.zeros((tile, tile, chi, chi), ay_l.re.dtype).at[
+            :, :, 0, 0
+        ].set(1.0) * one
+        m0 = Cpx(m0re, jnp.zeros_like(m0re))
+        m = m0
+        bufs = jnp.zeros((n_tiles, tile, tile), ay_l.re.dtype) * one
+
+        for s in range(n_tiles + ndev - 1):
+            t = s - idx
+            valid = (t >= 0) & (t < n_tiles)
+            tt = jnp.clip(t, 0, n_tiles - 1)
+            yi, xi = tt // nxb, tt % nxb
+            ay_b = cpx.tmap(
+                lambda a: lax.dynamic_slice_in_dim(a, yi * tile, tile, axis=0),
+                ay_l,
+            )
+            ax_b = cpx.tmap(
+                lambda a: lax.dynamic_slice_in_dim(a, xi * tile, tile, axis=0),
+                ax_l,
+            )
+            # Device 0 sources each tile fresh; others continue the relay.
+            is_src = idx == 0
+            m_in = Cpx(
+                jnp.where(is_src, m0.re, m.re), jnp.where(is_src, m0.im, m.im)
+            )
+
+            def site_step(mc, i):
+                ty = cpx.tmap(
+                    lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
+                    ay_b,
+                )
+                tx = cpx.tmap(
+                    lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
+                    ax_b,
+                )
+                return _tile_block(mc, ty, tx), None
+
+            m_out, _ = lax.scan(site_step, m_in, jnp.arange(n_loc))
+            done = cpx.abs2(cpx.tmap(lambda a: a[:, :, 0, 0], m_out))
+            write = valid & (idx == ndev - 1)
+            bufs = bufs.at[tt].set(jnp.where(write, done, bufs[tt]))
+            m = cpx.tmap(lambda a: lax.ppermute(a, axis, to_right), m_out)
+
+        # Only the last device holds real results; psum replicates them.
+        return lax.psum(jnp.where(idx == ndev - 1, bufs, 0.0), axis)
+
+    run = jax.jit(
+        jax.shard_map(
+            relay,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
+            out_specs=P(),
+        )
+    )
+    with jax.default_matmul_precision(precision):
+        bufs = run(ay.re, ay.im, ax.re, ax.im)
+    out = jnp.concatenate(
+        [
+            jnp.concatenate([bufs[yi * nxb + xi] for xi in range(nxb)], axis=1)
+            for yi in range(nyb)
+        ],
+        axis=0,
+    )
+    return out[:By, :Bx]

@@ -137,6 +137,35 @@ def test_shard_mps_env_knob_through_gram(monkeypatch):
     np.testing.assert_allclose(k1, k2, atol=1e-6)
 
 
+@pytest.mark.parametrize("ndev,tile", [(8, 4), (3, 5), (1, 4)])
+def test_sharded_overlaps_pipeline(ndev, tile):
+    """gather=False evolution + the pipelined relay contraction match the
+    standard gathered tile engine (incl. ragged batch vs tile size)."""
+    from qml_cutensornet_tpu.parallel.sharded_mps import (
+        make_sharded_brick_simulator,
+        sharded_tile_overlaps_sq,
+    )
+
+    rng = np.random.default_rng(21)
+    n, reps, d = 10, 2, 3
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(7, n))  # ragged vs tile
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    mesh = make_mesh(ndev, axis="sp")
+    st_sh = make_sharded_brick_simulator(ansatz.schedule, cfg, mesh, gather=False)(X)
+    k_sh = np.asarray(
+        sharded_tile_overlaps_sq(st_sh.tensors, st_sh.tensors, mesh, tile=tile)
+    )
+    st_1 = make_chunked_simulator(ansatz.schedule, cfg)(X)
+    k_1 = np.asarray(tile_overlaps_sq(st_1.tensors, st_1.tensors))
+    np.testing.assert_allclose(k_sh, k_1, atol=2e-6, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(st_sh.fidelity), np.asarray(st_1.fidelity), rtol=1e-6
+    )
+
+
 def test_padded_sites_for():
     assert padded_sites_for(13, 8) == 16
     assert padded_sites_for(13, 4) == 16
