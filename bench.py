@@ -55,8 +55,10 @@ def main() -> None:
         make_synthetic_elliptic,
         preprocess_elliptic,
     )
+    from qml_cutensornet_tpu.cli._pipeline import init_platform
     from qml_cutensornet_tpu.utils.jaxenv import setup_compilation_cache
 
+    init_platform()  # honor QMLTPU_PLATFORM (e.g. "cpu") like the CLI
     setup_compilation_cache()
     import jax
 
