@@ -542,3 +542,31 @@ def sharded_tile_overlaps_sq(
         axis=0,
     )
     return out[:By, :Bx]
+
+
+def sharded_gram(ansatz, X, cfg: SimConfig, mesh, tile: int = 32) -> np.ndarray:
+    """Fully site-sharded symmetric Gram build: evolve with the state's
+    site axis sharded (gather=False) and contract with the pipelined
+    relay — nothing is ever gathered per-device. Normalization follows
+    models/gram.build_kernel_matrix's symmetric convention (divide by the
+    tile path's OWN diagonal, the round-3 parity mechanism;
+    QMLTPU_NORMALIZE=0 restores raw products).
+
+    The convenience entry for the giant-state regime; for everything the
+    reference's scales cover, build_kernel_matrix (+ QMLTPU_SHARD_MPS for
+    sharded evolution) is the production path.
+    """
+    schedule = ansatz.schedule
+    sim = make_sharded_brick_simulator(schedule, cfg, mesh, gather=False)
+    st = sim(np.asarray(X, dtype=np.float64))
+    k = np.asarray(
+        sharded_tile_overlaps_sq(
+            st.tensors, st.tensors, mesh, tile=tile,
+            precision=cfg.matmul_precision,
+        )
+    )
+    if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":
+        dg = np.sqrt(np.maximum(np.diag(k), 0.0))
+        dg = np.where(dg > 0, dg, 1.0)
+        k = k / np.outer(dg, dg)
+    return k

@@ -166,6 +166,24 @@ def test_sharded_overlaps_pipeline(ndev, tile):
     )
 
 
+def test_sharded_gram_end_to_end():
+    """sharded_gram (fully sharded evolve + relay + diag normalization)
+    matches build_kernel_matrix."""
+    import qml_cutensornet_tpu as q
+    from qml_cutensornet_tpu.parallel.sharded_mps import sharded_gram
+
+    rng = np.random.default_rng(31)
+    n = 9
+    ansatz = KernelStateAnsatz(n, 2, 1.0, entanglement_graph(n, 2), routing="brick")
+    X = rng.uniform(0, 2, size=(6, n))
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    k_sh = sharded_gram(ansatz, X, cfg, make_mesh(4, axis="sp"), tile=4)
+    k_1 = q.build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=6, tile=6)
+    np.testing.assert_allclose(k_sh, k_1, atol=5e-6)
+    assert np.abs(np.diag(k_sh) - 1).max() < 1e-6
+
+
 def test_padded_sites_for():
     assert padded_sites_for(13, 8) == 16
     assert padded_sites_for(13, 4) == 16
