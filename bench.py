@@ -90,6 +90,7 @@ def main() -> None:
         # One power iteration is exact under exact rank and loses <1e-5
         # fidelity under the bench's mild truncation; ~25% faster.
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 1)),
+        power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
     )
     log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
         f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")

@@ -20,6 +20,11 @@ positional contract come from environment variables:
     QMLTPU_SVD         subspace | svd | eigh (default subspace — the
                        matmul-only TPU fast path; "svd" is the QDWH-accurate
                        reference path)
+    QMLTPU_POWER_PRECISION  matmul precision for the subspace POWER
+                       multiplies only (default "inherit"; "float32" =
+                       3-pass bf16, the large-chi speed candidate — the
+                       orthonormalizations and final factors stay at full
+                       precision, see SimConfig.power_precision)
     QMLTPU_ROUTING     tracked | reference | brick  (default tracked)
     QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
     QMLTPU_TILE        Gram tile side (default 32)
@@ -132,6 +137,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         precision=os.environ.get("QMLTPU_PRECISION", "f32"),
         svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
+        power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
     )
     if chi_env == "auto":
         if sample_features is None:

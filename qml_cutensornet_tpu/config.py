@@ -77,6 +77,16 @@ class SimConfig:
     # full f32 accumulation (6-pass bf16); "float32" is the cheaper 3-pass
     # variant; "bfloat16" is fastest and only fit for exploratory runs.
     matmul_precision: str = "highest"
+    # Precision for the subspace-iteration POWER multiplies only
+    # (theta^H v and theta w in ops/svd._split_subspace). The power basis
+    # is re-orthonormalized at full precision and the factors (r, s2) are
+    # recomputed at full precision from q, so imprecision here perturbs
+    # only WHICH subspace is kept — a second-order truncation effect,
+    # bounded by the spectrum's flatness at the cut. "float32" (3-pass
+    # bf16 on TPU, ~2x cheaper than the 6-pass "highest") is the candidate
+    # for the large-chi regime where these multiplies dominate; "inherit"
+    # (default) keeps the ambient cfg.matmul_precision.
+    power_precision: str = "inherit"
 
     def __post_init__(self):
         if self.criterion not in ("fidelity", "cutoff"):
@@ -87,6 +97,10 @@ class SimConfig:
             raise ValueError(f"Unknown precision: {self.precision}")
         if self.matmul_precision not in ("highest", "float32", "bfloat16", "default"):
             raise ValueError(f"Unknown matmul_precision: {self.matmul_precision}")
+        if self.power_precision not in (
+            "inherit", "highest", "float32", "bfloat16", "default",
+        ):
+            raise ValueError(f"Unknown power_precision: {self.power_precision}")
         if self.chi < 1:
             raise ValueError("chi must be >= 1")
 

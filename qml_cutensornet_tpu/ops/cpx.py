@@ -218,6 +218,10 @@ def qr(v: Cpx) -> tuple[Cpx, Cpx]:
     if _pallas_orth_eligible(v):
         from qml_cutensornet_tpu.ops import pallas_qr
 
+        if pallas_qr.qr_r_fusion_enabled():
+            # One launch for q AND r = q^H v (VMEM-resident; saves the
+            # matmul dispatch + q reload per canonical-center move).
+            return pallas_qr.qr_with_r_pallas(v)
         q = pallas_qr.qr_orth_pallas(v)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r

@@ -80,18 +80,26 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
     # scanned-MGS2 path instead (ops/blocked_qr.py).
     if k > 128:
         return False
+    if _fused_interpret():  # CI: interpret-mode coverage of the TPU routing
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - backend init failure
         return False
 
 
-def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
-    """BCGS2 over complex columns stored as ROWS (inputs [B, k, m])."""
-    B, k, m = vr_ref.shape
+def orth_rows_body(vr, vi, qr_ref, qi_ref):
+    """BCGS2 over complex vectors stored as ROWS.
+
+    ``vr, vi`` are VALUES ``[B, k, m]`` (k vectors of length m); the
+    orthonormal rows are written into the VMEM refs ``qr_ref, qi_ref`` of
+    the same shape. Shared by :func:`_orth_kernel` and the fused
+    subspace-split kernel (ops/pallas_split.py), which calls it twice
+    inside one launch."""
+    B, k, m = vr.shape
     nP = k // PANEL
-    qr_ref[:] = jnp.zeros_like(qr_ref)
-    qi_ref[:] = jnp.zeros_like(qi_ref)
+    qr_ref[:] = jnp.zeros_like(qr_ref[:])
+    qi_ref[:] = jnp.zeros_like(qi_ref[:])
 
     # dot_general dims: batch B; contract m (proj) or k (update).
     # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
@@ -103,8 +111,8 @@ def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
 
     for p in range(nP):
         sl = slice(p * PANEL, (p + 1) * PANEL)
-        ar = vr_ref[:, sl, :]
-        ai = vi_ref[:, sl, :]
+        ar = vr[:, sl, :]
+        ai = vi[:, sl, :]
         n2_orig = jnp.sum(ar * ar + ai * ai, axis=2)  # [B, P] pre-projection
 
         if p > 0:
@@ -149,6 +157,35 @@ def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
             qi_ref[:, p * PANEL + t, :] = xi * inv[:, None]
 
 
+def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
+    """Standalone batched orthonormalization launch (inputs [B, k, m])."""
+    orth_rows_body(vr_ref[:], vi_ref[:], qr_ref, qi_ref)
+
+
+def _orth_r_kernel(vr_ref, vi_ref, qr_ref, qi_ref, rr_ref, ri_ref):
+    """Orthonormalization PLUS the R factor in one launch: r = q^H v,
+    computed while q and v are both VMEM-resident (saves the separate XLA
+    matmul dispatch + the q reload that cpx.qr otherwise pays per
+    canonical-center move — 470 of 1092 ops in the 32q tracked stream)."""
+    vr = vr_ref[:]
+    vi = vi_ref[:]
+    orth_rows_body(vr, vi, qr_ref, qi_ref)
+    # rows layout: r[i, j] = sum_m conj(q_rows[i, m]) v_rows[j, m]
+    dn = (((2,), (2,)), ((0,), (0,)))
+    hi = lax.Precision.HIGHEST
+    f32 = jnp.float32
+    qr_ = qr_ref[:]
+    qi_ = qi_ref[:]
+    rr_ref[:] = (
+        lax.dot_general(qr_, vr, dn, preferred_element_type=f32, precision=hi)
+        + lax.dot_general(qi_, vi, dn, preferred_element_type=f32, precision=hi)
+    )
+    ri_ref[:] = (
+        lax.dot_general(qr_, vi, dn, preferred_element_type=f32, precision=hi)
+        - lax.dot_general(qi_, vr, dn, preferred_element_type=f32, precision=hi)
+    )
+
+
 def _batch_block(k: int, m: int) -> int:
     """Largest batch block such that the kernel fits VMEM (~16 MB/core).
 
@@ -191,6 +228,88 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
     )
 
 
+@lru_cache(maxsize=32)
+def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((Bb, k, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((Bb, k, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    B = Bb * n_blocks
+    return pl.pallas_call(
+        _orth_r_kernel,
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, k), jnp.float32),
+        ),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec, r_spec, r_spec),
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]:
+    """Like :func:`orthonormalize_batched` but also returns ``r = q^H v``
+    ([B, k, k], NOT triangular — the :func:`cpx.qr` contract) from the same
+    launch."""
+    B, m, k = v.re.shape
+    bb = min(_batch_block(k, m), max(2, B))
+    n_blocks = -(-B // bb)
+    bpad = bb * n_blocks - B
+    tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
+    qr_, qi, rr, ri = _build_call_r(bb, n_blocks, k, m, interpret)(tr(v.re), tr(v.im))
+    untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
+    return Cpx(untr(qr_), untr(qi)), Cpx(rr[:B], ri[:B])
+
+
+@jax.custom_batching.custom_vmap
+def _orth_r_single(re, im):
+    q, r = orthonormalize_r_batched(Cpx(re[None], im[None]), interpret=_fused_interpret())
+    return q.re[0], q.im[0], r.re[0], r.im[0]
+
+
+@_orth_r_single.def_vmap
+def _orth_r_single_vmap(axis_size, in_batched, re, im):
+    del axis_size
+    if not all(in_batched):  # pragma: no cover - engine always batches both
+        raise NotImplementedError("orthonormalize expects re and im batched together")
+    q, r = orthonormalize_r_batched(Cpx(re, im), interpret=_fused_interpret())
+    return (q.re, q.im, r.re, r.im), (True, True, True, True)
+
+
+def _fused_interpret() -> bool:
+    import os
+
+    return os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0") == "1"
+
+
+def qr_r_fusion_enabled() -> bool:
+    """The fused Q+R launch shares the fused-kernel knob with
+    ops/pallas_split.py (QMLTPU_FUSED_SPLIT, default off until benched;
+    QMLTPU_FUSED_SPLIT_INTERPRET=1 forces the interpret path for CI)."""
+    import os
+
+    if _fused_interpret():
+        return True
+    return os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0"
+
+
+def qr_with_r_pallas(v: Cpx) -> tuple[Cpx, Cpx]:
+    """Drop-in for the (q, r) pair in cpx.qr's Pallas branch: one launch
+    instead of kernel + XLA matmul. Same vmap contract as qr_orth_pallas."""
+    qre, qim, rre, rim = _orth_r_single(v.re, v.im)
+    return Cpx(qre, qim), Cpx(rre, rim)
+
+
 def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     """Orthonormal basis of the columns of each ``v[b] [m, k]`` (complex
     pairs, batched). Returns Q with the same shape; zero columns stay zero."""
@@ -208,7 +327,7 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
 
 @jax.custom_batching.custom_vmap
 def _orth_single(re, im):
-    q = orthonormalize_batched(Cpx(re[None], im[None]))
+    q = orthonormalize_batched(Cpx(re[None], im[None]), interpret=_fused_interpret())
     return q.re[0], q.im[0]
 
 
@@ -217,7 +336,7 @@ def _orth_single_vmap(axis_size, in_batched, re, im):
     del axis_size
     if not all(in_batched):  # pragma: no cover - engine always batches both
         raise NotImplementedError("orthonormalize expects re and im batched together")
-    q = orthonormalize_batched(Cpx(re, im))
+    q = orthonormalize_batched(Cpx(re, im), interpret=_fused_interpret())
     return (q.re, q.im), (True, True)
 
 

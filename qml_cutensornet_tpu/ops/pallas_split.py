@@ -1,0 +1,226 @@
+"""Pallas TPU kernel: FUSED batched subspace factorization.
+
+The production two-site update (ops/svd._split_subspace, iters == 1) is a
+five-stage chain per gate:
+
+    w = theta^H v0  ->  w = orth(w)  ->  v = theta w  ->  q = orth(v)
+    ->  r = q^H theta
+
+On the XLA path that is three matmul dispatches plus two Pallas
+orthonormalizer launches, each round-tripping theta-sized tensors through
+HBM. At production sizes (chi = 64..128, so theta is [128,128]..[256,256]
+per batch element) the whole working set fits VMEM, which is exactly the
+regime where fusion pays on this hardware (the same lesson as the BCGS2
+orthonormalizer, ops/pallas_qr.py — and the opposite regime from the
+retired Gram-tile kernel, docs/ROADMAP.md). This kernel runs the full
+chain in ONE launch: theta is loaded once, every intermediate lives in
+VMEM/registers, and only (q, r) are written back.
+
+Numerics: identical ALGORITHM to the unfused TPU path — the two
+orthonormalizations reuse the exact BCGS2 body (pallas_qr.orth_rows_body,
+including the dependent-column zeroing that preserves the exact-zero
+padding invariant), and every contraction is lax.dot_general with
+precision=HIGHEST (bf16 passes would destroy orthogonality — CLAUDE.md).
+Only f32 summation order differs from the XLA einsums, i.e. the same
+class of rounding delta as any XLA fusion change; the truncation mask,
+normalization, and parity ledger are computed downstream from (q, r)
+exactly as before (ops/svd.py).
+
+Everything is stored in ROWS layout inside the kernel ([batch, nvec, len],
+vectors on the lane dimension):
+
+    w_rows = v0^T conj(theta)        # == (theta^H v0)^T, contract m
+    w_rows = orth_rows(w_rows)       # scratch refs
+    v_rows = w_rows theta^T          # == (theta w)^T, contract k
+    q_rows = orth_rows(v_rows)       # output ref
+    r      = conj(q_rows) theta      # == q^H theta, contract m
+
+Replaces (when eligible): the matmul+orth chain in ops/svd._split_subspace.
+Reference hot op: cuTensorNet's per-gate truncated SVD
+(gpu_backend/kernel_state_ansatz.py:213-231).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qml_cutensornet_tpu.ops.cpx import Cpx
+from qml_cutensornet_tpu.ops.pallas_qr import PANEL, orth_rows_body
+
+_HI = lax.Precision.HIGHEST
+
+
+def fused_split_supported(m: int, k: int, keep: int, dtype) -> bool:
+    """Kernel eligibility: TPU platform, f32, panel-aligned keep, VMEM-
+    scale shapes. Off the eligible range ops/svd.py keeps the unfused
+    path (which itself routes its orths through pallas_qr/blocked_qr)."""
+    interpret = _force_interpret()
+    # Default OFF until benched on chip (flip after the measured win +
+    # parity re-record; CLAUDE.md accuracy hierarchy item 3).
+    if os.environ.get("QMLTPU_FUSED_SPLIT", "0") == "0" and not interpret:
+        return False
+    if dtype != jnp.float32:
+        return False
+    if keep % PANEL != 0 or keep > 128 or m % 8 != 0 or k % 8 != 0:
+        return False
+    # theta plus the rows buffers must fit VMEM with a usable batch block;
+    # chi <= 128 (m = k = 256) is the measured-useful range. Above it the
+    # streaming blocked-QR path owns the regime (ops/blocked_qr.py).
+    if m > 256 or k > 256:
+        return False
+    if interpret:  # CI: exercise the real svd.py routing without a TPU
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def _force_interpret() -> bool:
+    """Test hook: QMLTPU_FUSED_SPLIT_INTERPRET=1 routes the production
+    eligibility + kernel through Pallas interpret mode on CPU, so CI can
+    pin the ops/svd.py integration end-to-end (tests/test_pallas_split.py)."""
+    return os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0") == "1"
+
+
+def _cmul_dot(ar, ai, br, bi, dn, conj_a=False, conj_b=False):
+    """Complex matmul on (re, im) pairs via four real dot_generals."""
+    sa = -1.0 if conj_a else 1.0
+    sb = -1.0 if conj_b else 1.0
+    dot = lambda x, y: lax.dot_general(
+        x, y, dn, preferred_element_type=jnp.float32, precision=_HI
+    )
+    re = dot(ar, br) - sa * sb * dot(ai, bi)
+    im = sb * dot(ar, bi) + sa * dot(ai, br)
+    return re, im
+
+
+def _split_kernel(
+    thr_ref, thi_ref, v0r_ref, v0i_ref,
+    qr_ref, qi_ref, rr_ref, ri_ref,
+    wr_ref, wi_ref,
+):
+    B, m, k = thr_ref.shape
+    keep = qr_ref.shape[1]
+    thr = thr_ref[:]
+    thi = thi_ref[:]
+    v0r = jnp.broadcast_to(v0r_ref[:][None], (B, m, keep))
+    v0i = jnp.broadcast_to(v0i_ref[:][None], (B, m, keep))
+
+    # w_rows = v0^T conj(theta): contract m -> [B, keep, k]
+    dn_m = (((1,), (1,)), ((0,), (0,)))
+    wr, wi = _cmul_dot(v0r, v0i, thr, thi, dn_m, conj_b=True)
+    orth_rows_body(wr, wi, wr_ref, wi_ref)
+
+    # v_rows = w_rows theta^T: contract k -> [B, keep, m]
+    dn_k = (((2,), (2,)), ((0,), (0,)))
+    vr, vi = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
+    orth_rows_body(vr, vi, qr_ref, qi_ref)
+
+    # r = conj(q_rows) theta: contract m -> [B, keep, k]
+    dn_qm = (((2,), (1,)), ((0,), (0,)))
+    rr, ri = _cmul_dot(qr_ref[:], qi_ref[:], thr, thi, dn_qm, conj_a=True)
+    rr_ref[:] = rr
+    ri_ref[:] = ri
+
+
+def _batch_block(m: int, k: int, keep: int) -> int:
+    """Largest batch block fitting the ~5 MB buffer budget (Mosaic's scoped
+    peak runs ~3x the block buffers; ceiling raised to 100 MB below)."""
+    per = 4 * (2 * m * k + 2 * keep * m + 4 * keep * k)
+    budget = 5 * 1024 * 1024
+    return max(2, min(64, (budget // per // 2) * 2))
+
+
+@lru_cache(maxsize=32)
+def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    th_spec = pl.BlockSpec((Bb, m, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    B = Bb * n_blocks
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        _split_kernel,
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
+        ),
+        in_specs=[th_spec, th_spec, v0_spec, v0_spec],
+        out_specs=(q_spec, q_spec, r_spec, r_spec),
+        scratch_shapes=[
+            pltpu.VMEM((Bb, keep, k), jnp.float32),
+            pltpu.VMEM((Bb, keep, k), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def subspace_factor_batched(
+    theta: Cpx, v0: Cpx, keep: int, interpret: bool = False
+) -> tuple[Cpx, Cpx]:
+    """Fused subspace factorization of each ``theta[b] [m, k]``: returns
+    ``(q [B, m, keep], r [B, keep, k])`` with ``q`` a masked isometry
+    spanning (an approximation of) the top-``keep`` left singular subspace
+    and ``r = q^H theta``. Zero columns of ``q`` are exactly zero."""
+    B, m, k = theta.re.shape
+    bb = min(_batch_block(m, k, keep), max(2, B))
+    n_blocks = -(-B // bb)
+    bpad = bb * n_blocks - B
+    pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
+    qr_, qi, rr, ri = _build_call(bb, n_blocks, m, k, keep, interpret)(
+        pad(theta.re), pad(theta.im), v0.re, v0.im
+    )
+    q = Cpx(jnp.swapaxes(qr_[:B], 1, 2), jnp.swapaxes(qi[:B], 1, 2))
+    return q, Cpx(rr[:B], ri[:B])
+
+
+@jax.custom_batching.custom_vmap
+def _split_single(thr, thi, v0r, v0i):
+    q, r = subspace_factor_batched(
+        Cpx(thr[None], thi[None]), Cpx(v0r, v0i), v0r.shape[1],
+        interpret=_force_interpret(),
+    )
+    return q.re[0], q.im[0], r.re[0], r.im[0]
+
+
+@_split_single.def_vmap
+def _split_single_vmap(axis_size, in_batched, thr, thi, v0r, v0i):
+    del axis_size
+    if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+        raise NotImplementedError("fused split expects theta batched")
+    # v0 is a shared constant start block; if a vmap batched it anyway,
+    # slice one copy (all are identical by construction).
+    if in_batched[2]:
+        v0r = v0r[0]
+    if in_batched[3]:
+        v0i = v0i[0]
+    q, r = subspace_factor_batched(
+        Cpx(thr, thi), Cpx(v0r, v0i), v0r.shape[1], interpret=_force_interpret()
+    )
+    return (q.re, q.im, r.re, r.im), (True, True, True, True)
+
+
+def subspace_factor(theta: Cpx, v0: Cpx, keep: int) -> tuple[Cpx, Cpx]:
+    """Drop-in for the matmul+orth chain in ops/svd._split_subspace (TPU
+    f32, iters == 1). Works under the engine's vmap level via a custom
+    batching rule mapping the whole batch into one kernel launch."""
+    assert v0.re.shape[1] == keep
+    qre, qim, rre, rim = _split_single(theta.re, theta.im, v0.re, v0.im)
+    return Cpx(qre, qim), Cpx(rre, rim)

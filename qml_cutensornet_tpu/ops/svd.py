@@ -37,6 +37,7 @@ TPU constraints shape the design:
 
 from __future__ import annotations
 
+import contextlib
 from functools import lru_cache, partial
 
 import jax
@@ -174,7 +175,27 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     v0re, v0im = _subspace_start(m, keep, np.dtype(rdt).name)
     v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
     iters = max(1, cfg.subspace_iters)
-    if iters == 1:
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    if cfg.power_precision == "inherit":
+        power_ctx = contextlib.nullcontext
+    else:
+        # Reduced precision ONLY for the power multiplies; the basis is
+        # re-orthonormalized and (r, s2) recomputed at ambient (full)
+        # precision, so this perturbs only WHICH subspace is kept —
+        # second-order in the truncation error (see SimConfig docs).
+        power_ctx = lambda: jax.default_matmul_precision(cfg.power_precision)
+
+    if (
+        iters == 1
+        and cfg.power_precision == "inherit"
+        and pallas_split.fused_split_supported(m, k, keep, rdt)
+    ):
+        # One fused VMEM-resident launch for the whole chain (theta loaded
+        # once; same BCGS2 body, HIGHEST-precision dots — see the module
+        # docstring for the rounding-delta argument).
+        q, r = pallas_split.subspace_factor(theta, v, keep)
+    elif iters == 1:
         # Single power step: apply theta twice (two skinny [m,k]x[k,keep]
         # products) instead of forming theta theta^H (an [m,m,k] product) —
         # ~2x fewer flops for this stage. Orthonormalizing BETWEEN the two
@@ -183,23 +204,28 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         # instead of ~s^2, so weak-but-real singular directions sit well
         # above the roundoff floor (same subspace in exact arithmetic:
         # span(theta theta^H v0) == span(theta orth(theta^H v0))).
-        w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
+        with power_ctx():
+            w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
         w = cpx.qr_orth(w)
-        v = cpx.einsum("ij,jk->ik", theta, w)
-        v = cpx.qr_orth(v)
+        with power_ctx():
+            v = cpx.einsum("ij,jk->ik", theta, w)
+        q = cpx.qr_orth(v)
+        r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     else:
-        h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian
+        with power_ctx():
+            h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian
         # Householder QR (interleaved embedding) after EVERY power multiply.
         # In exact arithmetic any span-preserving conditioning between
         # multiplies would do, but in f32 a ridged CholeskyQR measurably
         # loses weak singular directions before the final orthonormalization
         # (benchmark fidelity 0.99910 vs 0.99993) — full QR is worth its cost.
         for _ in range(iters):
-            v = cpx.einsum("ij,jk->ik", h, v)
+            with power_ctx():
+                v = cpx.einsum("ij,jk->ik", h, v)
             v = cpx.qr_orth(v)
-    q = v
+        q = v
+        r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
 
-    r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
     total = jnp.sum(cpx.abs2(theta))
     beyond = jnp.maximum(total - jnp.sum(s2), 0.0)

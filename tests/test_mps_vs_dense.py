@@ -273,3 +273,30 @@ def test_kernel_normalization_identity(monkeypatch):
     n2 = np.sqrt(np.diag(k_raw))  # <x|x> per state
     assert n2.min() < 1.0 - 1e-6  # truncation really bit
     np.testing.assert_allclose(k_raw, k_norm * np.outer(n2, n2), atol=1e-12)
+
+
+def test_power_precision_plumbing():
+    """power_precision wraps only the subspace power multiplies; on CPU the
+    precision context is a no-op, so results must be identical — this pins
+    the plumbing (config validation, context scoping) without a TPU."""
+    import numpy as np
+    import pytest
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.ops import cpx
+    from qml_cutensornet_tpu.ops.cpx import Cpx
+    from qml_cutensornet_tpu.ops.svd import truncated_svd
+
+    rng = np.random.default_rng(11)
+    thc = rng.standard_normal((32, 32)) + 1j * rng.standard_normal((32, 32))
+    th = Cpx(jnp.asarray(thc.real, jnp.float32), jnp.asarray(thc.imag, jnp.float32))
+    for iters in (1, 2):
+        base = SimConfig(chi=16, svd_method="subspace", subspace_iters=iters)
+        lowp = SimConfig(chi=16, svd_method="subspace", subspace_iters=iters,
+                         power_precision="float32")
+        l0, r0, f0, k0 = truncated_svd(th, base, keep=16)
+        l1, r1, f1, k1 = truncated_svd(th, lowp, keep=16)
+        np.testing.assert_array_equal(np.asarray(l0.re), np.asarray(l1.re))
+        np.testing.assert_array_equal(np.asarray(r0.im), np.asarray(r1.im))
+    with pytest.raises(ValueError):
+        SimConfig(power_precision="nope")

@@ -83,3 +83,23 @@ def test_batch_padding_roundtrip():
     for b in range(5):
         q_one = _orth(vc[b : b + 1])
         np.testing.assert_allclose(q_all[b], q_one[0], atol=1e-6)
+
+
+def test_fused_r_factor_reconstructs():
+    """orthonormalize_r_batched: q r must equal v to roundoff (the cpx.qr
+    contract — r is NOT triangular, no caller relies on that), including
+    on rank-deficient input where dependent q columns are zeroed."""
+    from qml_cutensornet_tpu.ops.pallas_qr import orthonormalize_r_batched
+
+    rng = np.random.default_rng(5)
+    full = rng.standard_normal((2, 64, 32)) + 1j * rng.standard_normal((2, 64, 32))
+    base = rng.standard_normal((64, 5)) + 1j * rng.standard_normal((64, 5))
+    lowrank = (base @ rng.standard_normal((5, 32)))[None]
+    for vc in (full, lowrank):
+        v = Cpx(jnp.asarray(vc.real, jnp.float32), jnp.asarray(vc.imag, jnp.float32))
+        q, r = orthonormalize_r_batched(v, interpret=True)
+        qc = np.asarray(q.re) + 1j * np.asarray(q.im)
+        rc = np.asarray(r.re) + 1j * np.asarray(r.im)
+        scale = np.abs(vc).max()
+        assert np.abs(qc @ rc - vc).max() / scale < 5e-6
+        _checks(vc, qc, span_tol=1e-5)
