@@ -55,7 +55,7 @@ from qml_cutensornet_tpu.ops.pallas_qr import PANEL, orth_rows_body
 _HI = lax.Precision.HIGHEST
 
 
-def fused_split_supported(m: int, k: int, keep: int, dtype) -> bool:
+def fused_split_supported(m: int, k: int, keep: int, dtype, iters: int = 1) -> bool:
     """Kernel eligibility: TPU platform, f32, panel-aligned keep, VMEM-
     scale shapes. Off the eligible range ops/svd.py keeps the unfused
     path (which itself routes its orths through pallas_qr/blocked_qr)."""
@@ -67,6 +67,10 @@ def fused_split_supported(m: int, k: int, keep: int, dtype) -> bool:
     if dtype != jnp.float32:
         return False
     if keep % PANEL != 0 or keep > 128 or m % 8 != 0 or k % 8 != 0:
+        return False
+    # Each extra power iteration unrolls two more orth bodies + dots into
+    # the kernel (Mosaic compile time); 2 covers every shipped config.
+    if iters > 2:
         return False
     # theta plus the rows buffers must fit VMEM with a usable batch block;
     # chi <= 128 (m = k = 256) is the measured-useful range. Above it the
@@ -100,33 +104,54 @@ def _cmul_dot(ar, ai, br, bi, dn, conj_a=False, conj_b=False):
     return re, im
 
 
-def _split_kernel(
-    thr_ref, thi_ref, v0r_ref, v0i_ref,
-    qr_ref, qi_ref, rr_ref, ri_ref,
-    wr_ref, wi_ref,
-):
-    B, m, k = thr_ref.shape
-    keep = qr_ref.shape[1]
-    thr = thr_ref[:]
-    thi = thi_ref[:]
-    v0r = jnp.broadcast_to(v0r_ref[:][None], (B, m, keep))
-    v0i = jnp.broadcast_to(v0i_ref[:][None], (B, m, keep))
+def _make_split_kernel(iters: int):
+    """Kernel body for ``iters`` power iterations, each a
+    theta^H-multiply -> orth -> theta-multiply -> orth round trip (the
+    inter-multiply orthonormalization is the iters==1 path's conditioning
+    trick applied uniformly; for iters > 1 the unfused XLA branch instead
+    forms h = theta theta^H and orthonormalizes once per h-multiply — the
+    spans are identical in exact arithmetic, this form is the
+    better-conditioned one at f32)."""
 
-    # w_rows = v0^T conj(theta): contract m -> [B, keep, k]
-    dn_m = (((1,), (1,)), ((0,), (0,)))
-    wr, wi = _cmul_dot(v0r, v0i, thr, thi, dn_m, conj_b=True)
-    orth_rows_body(wr, wi, wr_ref, wi_ref)
+    def kernel(thr_ref, thi_ref, v0r_ref, v0i_ref,
+               qr_ref, qi_ref, rr_ref, ri_ref,
+               wr_ref, wi_ref, *v_scratch):
+        B, m, k = thr_ref.shape
+        thr = thr_ref[:]
+        thi = thi_ref[:]
 
-    # v_rows = w_rows theta^T: contract k -> [B, keep, m]
-    dn_k = (((2,), (2,)), ((0,), (0,)))
-    vr, vi = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
-    orth_rows_body(vr, vi, qr_ref, qi_ref)
+        dn_v0 = (((1,), (1,)), ((0,), (0,)))   # [B,m,keep] x [B,m,k]
+        dn_rows = (((2,), (1,)), ((0,), (0,)))  # [B,keep,m] x [B,m,k]
+        dn_k = (((2,), (2,)), ((0,), (0,)))     # [B,keep,k] x [B,m,k]
 
-    # r = conj(q_rows) theta: contract m -> [B, keep, k]
-    dn_qm = (((2,), (1,)), ((0,), (0,)))
-    rr, ri = _cmul_dot(qr_ref[:], qi_ref[:], thr, thi, dn_qm, conj_a=True)
-    rr_ref[:] = rr
-    ri_ref[:] = ri
+        vr = vi = None  # rows [B, keep, m] once set
+        for it in range(iters):
+            if it == 0:
+                keep = qr_ref.shape[1]
+                v0r = jnp.broadcast_to(v0r_ref[:][None], (B, m, keep))
+                v0i = jnp.broadcast_to(v0i_ref[:][None], (B, m, keep))
+                # w_rows = v0^T conj(theta): contract m -> [B, keep, k]
+                wr, wi = _cmul_dot(v0r, v0i, thr, thi, dn_v0, conj_b=True)
+            else:
+                # w_rows = v_rows conj(theta): contract m -> [B, keep, k]
+                wr, wi = _cmul_dot(vr, vi, thr, thi, dn_rows, conj_b=True)
+            orth_rows_body(wr, wi, wr_ref, wi_ref)
+
+            # v_rows = w_rows theta^T: contract k -> [B, keep, m]
+            vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
+            if it == iters - 1:
+                orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
+            else:
+                orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
+                vr = v_scratch[0][:]
+                vi = v_scratch[1][:]
+
+        # r = conj(q_rows) theta: contract m -> [B, keep, k]
+        rr, ri = _cmul_dot(qr_ref[:], qi_ref[:], thr, thi, dn_rows, conj_a=True)
+        rr_ref[:] = rr
+        ri_ref[:] = ri
+
+    return kernel
 
 
 def _batch_block(m: int, k: int, keep: int) -> int:
@@ -138,7 +163,8 @@ def _batch_block(m: int, k: int, keep: int) -> int:
 
 
 @lru_cache(maxsize=32)
-def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, interpret: bool):
+def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
+                interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -152,8 +178,17 @@ def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, interpret: bo
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         )
+    scratch = [
+        pltpu.VMEM((Bb, keep, k), jnp.float32),
+        pltpu.VMEM((Bb, keep, k), jnp.float32),
+    ]
+    if iters > 1:
+        scratch += [
+            pltpu.VMEM((Bb, keep, m), jnp.float32),
+            pltpu.VMEM((Bb, keep, m), jnp.float32),
+        ]
     return pl.pallas_call(
-        _split_kernel,
+        _make_split_kernel(iters),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
@@ -163,17 +198,14 @@ def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, interpret: bo
         ),
         in_specs=[th_spec, th_spec, v0_spec, v0_spec],
         out_specs=(q_spec, q_spec, r_spec, r_spec),
-        scratch_shapes=[
-            pltpu.VMEM((Bb, keep, k), jnp.float32),
-            pltpu.VMEM((Bb, keep, k), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )
 
 
 def subspace_factor_batched(
-    theta: Cpx, v0: Cpx, keep: int, interpret: bool = False
+    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False
 ) -> tuple[Cpx, Cpx]:
     """Fused subspace factorization of each ``theta[b] [m, k]``: returns
     ``(q [B, m, keep], r [B, keep, k])`` with ``q`` a masked isometry
@@ -184,43 +216,53 @@ def subspace_factor_batched(
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
-    qr_, qi, rr, ri = _build_call(bb, n_blocks, m, k, keep, interpret)(
+    qr_, qi, rr, ri = _build_call(bb, n_blocks, m, k, keep, iters, interpret)(
         pad(theta.re), pad(theta.im), v0.re, v0.im
     )
     q = Cpx(jnp.swapaxes(qr_[:B], 1, 2), jnp.swapaxes(qi[:B], 1, 2))
     return q, Cpx(rr[:B], ri[:B])
 
 
-@jax.custom_batching.custom_vmap
-def _split_single(thr, thi, v0r, v0i):
-    q, r = subspace_factor_batched(
-        Cpx(thr[None], thi[None]), Cpx(v0r, v0i), v0r.shape[1],
-        interpret=_force_interpret(),
-    )
-    return q.re[0], q.im[0], r.re[0], r.im[0]
+@lru_cache(maxsize=8)
+def _get_split_single(iters: int):
+    """custom_vmap wrapper per (static) iteration count."""
+
+    @jax.custom_batching.custom_vmap
+    def _split_single(thr, thi, v0r, v0i):
+        q, r = subspace_factor_batched(
+            Cpx(thr[None], thi[None]), Cpx(v0r, v0i), v0r.shape[1],
+            iters=iters, interpret=_force_interpret(),
+        )
+        return q.re[0], q.im[0], r.re[0], r.im[0]
+
+    @_split_single.def_vmap
+    def _split_single_vmap(axis_size, in_batched, thr, thi, v0r, v0i):
+        del axis_size
+        if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+            raise NotImplementedError("fused split expects theta batched")
+        # v0 is a shared constant start block; if a vmap batched it anyway,
+        # slice one copy (all are identical by construction).
+        if in_batched[2]:
+            v0r = v0r[0]
+        if in_batched[3]:
+            v0i = v0i[0]
+        q, r = subspace_factor_batched(
+            Cpx(thr, thi), Cpx(v0r, v0i), v0r.shape[1],
+            iters=iters, interpret=_force_interpret(),
+        )
+        return (q.re, q.im, r.re, r.im), (True, True, True, True)
+
+    return _split_single
 
 
-@_split_single.def_vmap
-def _split_single_vmap(axis_size, in_batched, thr, thi, v0r, v0i):
-    del axis_size
-    if not (in_batched[0] and in_batched[1]):  # pragma: no cover
-        raise NotImplementedError("fused split expects theta batched")
-    # v0 is a shared constant start block; if a vmap batched it anyway,
-    # slice one copy (all are identical by construction).
-    if in_batched[2]:
-        v0r = v0r[0]
-    if in_batched[3]:
-        v0i = v0i[0]
-    q, r = subspace_factor_batched(
-        Cpx(thr, thi), Cpx(v0r, v0i), v0r.shape[1], interpret=_force_interpret()
-    )
-    return (q.re, q.im, r.re, r.im), (True, True, True, True)
-
-
-def subspace_factor(theta: Cpx, v0: Cpx, keep: int) -> tuple[Cpx, Cpx]:
+def subspace_factor(
+    theta: Cpx, v0: Cpx, keep: int, iters: int = 1
+) -> tuple[Cpx, Cpx]:
     """Drop-in for the matmul+orth chain in ops/svd._split_subspace (TPU
-    f32, iters == 1). Works under the engine's vmap level via a custom
-    batching rule mapping the whole batch into one kernel launch."""
+    f32, iters unrolled in-kernel; see _make_split_kernel for the iters>1
+    semantics). Works under the engine's vmap level via a custom batching
+    rule mapping the whole batch into one kernel launch."""
     assert v0.re.shape[1] == keep
-    qre, qim, rre, rim = _split_single(theta.re, theta.im, v0.re, v0.im)
+    fn = _get_split_single(iters)
+    qre, qim, rre, rim = fn(theta.re, theta.im, v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim)

@@ -133,10 +133,12 @@ def test_batch_padding_roundtrip():
         np.testing.assert_allclose(r_all[b], r_one[0], atol=1e-6)
 
 
-def test_end_to_end_gram_via_svd_routing(monkeypatch):
+@pytest.mark.parametrize("iters", [1, 2])
+def test_end_to_end_gram_via_svd_routing(monkeypatch, iters):
     """Drive the REAL production path (ops/svd._split_subspace routing +
     simulate + gram) through the fused kernel in interpret mode and pin it
-    against the default engine: same Gram to f32 accumulation noise."""
+    against the default engine: same Gram to f32 accumulation noise.
+    iters=2 is the CLI default config (QMLTPU_SUBSPACE_ITERS)."""
     monkeypatch.setenv("QMLTPU_FUSED_SPLIT_INTERPRET", "1")
     import numpy as np
 
@@ -152,7 +154,7 @@ def test_end_to_end_gram_via_svd_routing(monkeypatch):
     X = rng.uniform(0.0, 2.0, size=(4, nq))
     ansatz = KernelStateAnsatz(nq, 1, 1.0, entanglement_graph(nq, 2))
     cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
-                    subspace_iters=1)
+                    subspace_iters=iters)
     k_fused = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=4, tile=4)
 
     monkeypatch.setenv("QMLTPU_FUSED_SPLIT_INTERPRET", "0")
