@@ -91,6 +91,8 @@ def main() -> None:
         # fidelity under the bench's mild truncation; ~25% faster.
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 1)),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
+        tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
+        fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
     )
     log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
         f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")

@@ -21,10 +21,16 @@ positional contract come from environment variables:
                        matmul-only TPU fast path; "svd" is the QDWH-accurate
                        reference path)
     QMLTPU_POWER_PRECISION  matmul precision for the subspace POWER
-                       multiplies only (default "inherit"; "float32" =
-                       3-pass bf16, the large-chi speed candidate — the
+                       multiplies only (default "inherit"; "high" = 3-pass
+                       bf16, the large-chi speed candidate — the
                        orthonormalizations and final factors stay at full
                        precision, see SimConfig.power_precision)
+    QMLTPU_FUSED_SPLIT 1 enables the fused Pallas subspace-split + Q+R
+                       kernels (TPU f32, chi <= 128; default 0 until
+                       benched — see ops/pallas_split.py)
+    QMLTPU_TILE_PRECISION  matmul precision for the Gram-tile contractions
+                       only (default "inherit"; "high" = 3-pass bf16 —
+                       measure parity before relying on it)
     QMLTPU_ROUTING     tracked | reference | brick  (default tracked)
     QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
     QMLTPU_TILE        Gram tile side (default 32)
@@ -138,6 +144,8 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
+        tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
+        fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
     )
     if chi_env == "auto":
         if sample_features is None:

@@ -74,19 +74,36 @@ class SimConfig:
     # MXU accumulation precision for f32 data. TPUs default to bfloat16
     # matmul passes for f32 inputs, which injects ~1e-2 relative error into
     # deep circuits — far outside the 1e-6 parity budget. "highest" forces
-    # full f32 accumulation (6-pass bf16); "float32" is the cheaper 3-pass
-    # variant; "bfloat16" is fastest and only fit for exploratory runs.
+    # full f32 accumulation (6-pass bf16; JAX's "float32" is an ALIAS of
+    # it, not a cheaper mode); "high" is the 3-pass variant; "bfloat16"
+    # is fastest and only fit for exploratory runs.
     matmul_precision: str = "highest"
     # Precision for the subspace-iteration POWER multiplies only
     # (theta^H v and theta w in ops/svd._split_subspace). The power basis
     # is re-orthonormalized at full precision and the factors (r, s2) are
     # recomputed at full precision from q, so imprecision here perturbs
     # only WHICH subspace is kept — a second-order truncation effect,
-    # bounded by the spectrum's flatness at the cut. "float32" (3-pass
-    # bf16 on TPU, ~2x cheaper than the 6-pass "highest") is the candidate
-    # for the large-chi regime where these multiplies dominate; "inherit"
+    # bounded by the spectrum's flatness at the cut. "high" (3-pass bf16
+    # on TPU, ~2x cheaper than the 6-pass "highest") is the candidate for
+    # the large-chi regime where these multiplies dominate; "inherit"
     # (default) keeps the ambient cfg.matmul_precision.
     power_precision: str = "inherit"
+    # Precision for the Gram-tile transfer-matrix contractions ONLY
+    # (models/simulate.tile_overlaps_sq): tile entries are plain inner
+    # products, no orthogonality at stake, and the kernel NORMALIZATION
+    # divides out first-order norm errors — so "high" (3-pass) is the
+    # measured-2x candidate for the dot-dominated large-N regime. The
+    # parity impact must be measured before changing the default.
+    tile_precision: str = "inherit"
+    # Fused Pallas kernels (ops/pallas_split.py subspace-split chain and
+    # ops/pallas_qr.py Q+R canonical-move launch). Carried in the config —
+    # a STATIC jit argument — rather than read from the environment at
+    # trace time, because nested-jit jaxpr caches (ops/svd.truncated_svd)
+    # are keyed on static args and would silently reuse stale env-read
+    # routing across in-process A/B flips. fused_interpret forces Pallas
+    # interpret mode so CPU CI can pin the real TPU routing end to end.
+    fused_split: bool = False
+    fused_interpret: bool = False
 
     def __post_init__(self):
         if self.criterion not in ("fidelity", "cutoff"):
@@ -95,15 +112,22 @@ class SimConfig:
             raise ValueError(f"Unknown svd_method: {self.svd_method}")
         if self.precision not in _REAL_DTYPES:
             raise ValueError(f"Unknown precision: {self.precision}")
-        if self.matmul_precision not in ("highest", "float32", "bfloat16", "default"):
+        _prec = ("highest", "float32", "high", "bfloat16_3x", "tensorfloat32",
+                 "bfloat16", "default")
+        if self.matmul_precision not in _prec:
             raise ValueError(f"Unknown matmul_precision: {self.matmul_precision}")
-        if self.power_precision not in (
-            "inherit", "highest", "float32", "bfloat16", "default",
-        ):
+        if self.power_precision not in ("inherit",) + _prec:
             raise ValueError(f"Unknown power_precision: {self.power_precision}")
+        if self.tile_precision not in ("inherit",) + _prec:
+            raise ValueError(f"Unknown tile_precision: {self.tile_precision}")
         if self.chi < 1:
             raise ValueError("chi must be >= 1")
 
     @property
     def real_dtype(self):
         return _REAL_DTYPES[self.precision]
+
+    @property
+    def resolved_tile_precision(self) -> str:
+        return (self.matmul_precision if self.tile_precision == "inherit"
+                else self.tile_precision)

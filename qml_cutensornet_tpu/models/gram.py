@@ -317,7 +317,7 @@ def build_kernel_matrix(
                 ax_blk = ay_blk
             else:
                 ax_blk = cpx.tmap(lambda t: trim(t[x0:x1]), ax)
-            block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.matmul_precision)
+            block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.resolved_tile_precision)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
             tile_pairs.append(
@@ -367,8 +367,8 @@ def build_kernel_matrix(
             dg = np.where(dg > 0, dg, 1.0)
             kernel_mat = kernel_mat / np.outer(dg, dg)
         else:
-            n2x = _norms_chunked(ax, tile, cfg.matmul_precision)
-            n2y = _norms_chunked(ay, tile, cfg.matmul_precision)
+            n2x = _norms_chunked(ax, tile, cfg.resolved_tile_precision)
+            n2y = _norms_chunked(ay, tile, cfg.resolved_tile_precision)
             kernel_mat = kernel_mat / np.outer(n2y[:len_y], n2x[:len_x])
 
     tiling_duration = time.perf_counter() - tiling_start

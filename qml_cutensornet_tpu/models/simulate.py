@@ -238,8 +238,6 @@ def _make_chunked_stream_simulator(
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
-        os.environ.get("QMLTPU_FUSED_SPLIT", "0"),
-        os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0"),
     )
     cache_key = (cfg, chunk_len, mesh, staged, pallas_env)
     if cache_key in cache:
@@ -524,8 +522,6 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
-        os.environ.get("QMLTPU_FUSED_SPLIT", "0"),
-        os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0"),
     )
     cache_key = ("brick", cfg, layer_chunk, mesh, staged, pallas_env)
     if cache_key in cache:

@@ -164,6 +164,20 @@ def lift_interleaved(e: jnp.ndarray) -> Cpx:
     return Cpx(er[:, 0, :, 0], er[:, 1, :, 0])
 
 
+def _pallas_shape_ok(v: Cpx) -> bool:
+    """Shape-only Pallas eligibility (no platform check) — used to honor
+    SimConfig.fused_interpret on CPU CI."""
+    from qml_cutensornet_tpu.ops import pallas_qr
+
+    m, k = v.re.shape[-2], v.re.shape[-1]
+    return (
+        v.re.dtype == jnp.float32
+        and k % pallas_qr.PANEL == 0
+        and m % 8 == 0
+        and k <= 128
+    )
+
+
 def _pallas_orth_eligible(v: Cpx) -> bool:
     from qml_cutensornet_tpu.ops import pallas_qr
 
@@ -198,7 +212,7 @@ def _blocked_orth_eligible(v: Cpx) -> bool:
         return False
 
 
-def qr(v: Cpx) -> tuple[Cpx, Cpx]:
+def qr(v: Cpx, fused_r: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
     """Complex reduced "QR": ``v = q @ r`` with ``q`` column-orthonormal.
 
     On the TPU f32 path this routes to the Pallas BCGS2 kernel
@@ -215,13 +229,17 @@ def qr(v: Cpx) -> tuple[Cpx, Cpx]:
     deficiency) lift to junk — but their R rows are ~0, so Q @ R still
     reproduces v to roundoff.
     """
+    if fused_r and (_pallas_orth_eligible(v) or (interpret and _pallas_shape_ok(v))):
+        # One launch for q AND r = q^H v (VMEM-resident; saves the matmul
+        # dispatch + q reload per canonical-center move). ``fused_r`` /
+        # ``interpret`` are threaded from SimConfig (static jit args),
+        # never env reads at trace time (nested-jit caches would go stale).
+        from qml_cutensornet_tpu.ops import pallas_qr
+
+        return pallas_qr.qr_with_r_pallas(v, interpret=interpret)
     if _pallas_orth_eligible(v):
         from qml_cutensornet_tpu.ops import pallas_qr
 
-        if pallas_qr.qr_r_fusion_enabled():
-            # One launch for q AND r = q^H v (VMEM-resident; saves the
-            # matmul dispatch + q reload per canonical-center move).
-            return pallas_qr.qr_with_r_pallas(v)
         q = pallas_qr.qr_orth_pallas(v)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r

@@ -80,8 +80,6 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
     # scanned-MGS2 path instead (ops/blocked_qr.py).
     if k > 128:
         return False
-    if _fused_interpret():  # CI: interpret-mode coverage of the TPU routing
-        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - backend init failure
@@ -262,7 +260,12 @@ def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]
     ([B, k, k], NOT triangular — the :func:`cpx.qr` contract) from the same
     launch."""
     B, m, k = v.re.shape
-    bb = min(_batch_block(k, m), max(2, B))
+    # Budget must count the two extra [Bb, k, k] r-output blocks on top of
+    # the four [Bb, k, m] in/out buffers _batch_block accounts for.
+    budget = 5 * 1024 * 1024
+    per = 4 * (4 * k * m + 2 * k * k)
+    bb_r = max(2, min(64, (budget // per // 2) * 2))
+    bb = min(bb_r, _batch_block(k, m), max(2, B))
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
@@ -271,42 +274,34 @@ def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]
     return Cpx(untr(qr_), untr(qi)), Cpx(rr[:B], ri[:B])
 
 
-@jax.custom_batching.custom_vmap
-def _orth_r_single(re, im):
-    q, r = orthonormalize_r_batched(Cpx(re[None], im[None]), interpret=_fused_interpret())
-    return q.re[0], q.im[0], r.re[0], r.im[0]
+@lru_cache(maxsize=4)
+def _get_orth_r_single(interpret: bool):
+    """custom_vmap wrapper for the fused Q+R launch, per interpret mode
+    (a STATIC choice threaded from SimConfig.fused_interpret — not an env
+    read, which nested-jit jaxpr caches would staleness-trap)."""
+
+    @jax.custom_batching.custom_vmap
+    def _orth_r_single(re, im):
+        q, r = orthonormalize_r_batched(Cpx(re[None], im[None]), interpret=interpret)
+        return q.re[0], q.im[0], r.re[0], r.im[0]
+
+    @_orth_r_single.def_vmap
+    def _orth_r_single_vmap(axis_size, in_batched, re, im):
+        del axis_size
+        if not all(in_batched):  # pragma: no cover - engine always batches both
+            raise NotImplementedError(
+                "orthonormalize expects re and im batched together"
+            )
+        q, r = orthonormalize_r_batched(Cpx(re, im), interpret=interpret)
+        return (q.re, q.im, r.re, r.im), (True, True, True, True)
+
+    return _orth_r_single
 
 
-@_orth_r_single.def_vmap
-def _orth_r_single_vmap(axis_size, in_batched, re, im):
-    del axis_size
-    if not all(in_batched):  # pragma: no cover - engine always batches both
-        raise NotImplementedError("orthonormalize expects re and im batched together")
-    q, r = orthonormalize_r_batched(Cpx(re, im), interpret=_fused_interpret())
-    return (q.re, q.im, r.re, r.im), (True, True, True, True)
-
-
-def _fused_interpret() -> bool:
-    import os
-
-    return os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0") == "1"
-
-
-def qr_r_fusion_enabled() -> bool:
-    """The fused Q+R launch shares the fused-kernel knob with
-    ops/pallas_split.py (QMLTPU_FUSED_SPLIT, default off until benched;
-    QMLTPU_FUSED_SPLIT_INTERPRET=1 forces the interpret path for CI)."""
-    import os
-
-    if _fused_interpret():
-        return True
-    return os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0"
-
-
-def qr_with_r_pallas(v: Cpx) -> tuple[Cpx, Cpx]:
+def qr_with_r_pallas(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]:
     """Drop-in for the (q, r) pair in cpx.qr's Pallas branch: one launch
     instead of kernel + XLA matmul. Same vmap contract as qr_orth_pallas."""
-    qre, qim, rre, rim = _orth_r_single(v.re, v.im)
+    qre, qim, rre, rim = _get_orth_r_single(interpret)(v.re, v.im)
     return Cpx(qre, qim), Cpx(rre, rim)
 
 
@@ -327,7 +322,7 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
 
 @jax.custom_batching.custom_vmap
 def _orth_single(re, im):
-    q = orthonormalize_batched(Cpx(re[None], im[None]), interpret=_fused_interpret())
+    q = orthonormalize_batched(Cpx(re[None], im[None]))
     return q.re[0], q.im[0]
 
 
@@ -336,7 +331,7 @@ def _orth_single_vmap(axis_size, in_batched, re, im):
     del axis_size
     if not all(in_batched):  # pragma: no cover - engine always batches both
         raise NotImplementedError("orthonormalize expects re and im batched together")
-    q = orthonormalize_batched(Cpx(re, im), interpret=_fused_interpret())
+    q = orthonormalize_batched(Cpx(re, im))
     return (q.re, q.im), (True, True)
 
 

@@ -42,7 +42,6 @@ Reference hot op: cuTensorNet's per-gate truncated SVD
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
 
 import jax
@@ -55,15 +54,15 @@ from qml_cutensornet_tpu.ops.pallas_qr import PANEL, orth_rows_body
 _HI = lax.Precision.HIGHEST
 
 
-def fused_split_supported(m: int, k: int, keep: int, dtype, iters: int = 1) -> bool:
-    """Kernel eligibility: TPU platform, f32, panel-aligned keep, VMEM-
-    scale shapes. Off the eligible range ops/svd.py keeps the unfused
-    path (which itself routes its orths through pallas_qr/blocked_qr)."""
-    interpret = _force_interpret()
-    # Default OFF until benched on chip (flip after the measured win +
-    # parity re-record; CLAUDE.md accuracy hierarchy item 3).
-    if os.environ.get("QMLTPU_FUSED_SPLIT", "0") == "0" and not interpret:
-        return False
+def fused_split_supported(
+    m: int, k: int, keep: int, dtype, iters: int = 1, interpret: bool = False
+) -> bool:
+    """Kernel eligibility: TPU platform (or interpret mode — CPU CI), f32,
+    panel-aligned keep, VMEM-scale shapes. Whether to USE the kernel is the
+    caller's cfg.fused_split — a static jit argument, NOT an env read at
+    trace time (nested-jit jaxpr caches would go stale on env flips). Off
+    the eligible range ops/svd.py keeps the unfused path (which itself
+    routes its orths through pallas_qr/blocked_qr)."""
     if dtype != jnp.float32:
         return False
     if keep % PANEL != 0 or keep > 128 or m % 8 != 0 or k % 8 != 0:
@@ -83,13 +82,6 @@ def fused_split_supported(m: int, k: int, keep: int, dtype, iters: int = 1) -> b
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - backend init failure
         return False
-
-
-def _force_interpret() -> bool:
-    """Test hook: QMLTPU_FUSED_SPLIT_INTERPRET=1 routes the production
-    eligibility + kernel through Pallas interpret mode on CPU, so CI can
-    pin the ops/svd.py integration end-to-end (tests/test_pallas_split.py)."""
-    return os.environ.get("QMLTPU_FUSED_SPLIT_INTERPRET", "0") == "1"
 
 
 def _cmul_dot(ar, ai, br, bi, dn, conj_a=False, conj_b=False):
@@ -154,10 +146,14 @@ def _make_split_kernel(iters: int):
     return kernel
 
 
-def _batch_block(m: int, k: int, keep: int) -> int:
+def _batch_block(m: int, k: int, keep: int, iters: int) -> int:
     """Largest batch block fitting the ~5 MB buffer budget (Mosaic's scoped
-    peak runs ~3x the block buffers; ceiling raised to 100 MB below)."""
+    peak runs ~3x the block buffers; ceiling raised to 100 MB below).
+    Counts ALL per-element block buffers: theta in, q/r out, w scratch,
+    plus the iters>1 v scratch."""
     per = 4 * (2 * m * k + 2 * keep * m + 4 * keep * k)
+    if iters > 1:
+        per += 4 * 2 * keep * m
     budget = 5 * 1024 * 1024
     return max(2, min(64, (budget // per // 2) * 2))
 
@@ -212,7 +208,7 @@ def subspace_factor_batched(
     spanning (an approximation of) the top-``keep`` left singular subspace
     and ``r = q^H theta``. Zero columns of ``q`` are exactly zero."""
     B, m, k = theta.re.shape
-    bb = min(_batch_block(m, k, keep), max(2, B))
+    bb = min(_batch_block(m, k, keep, iters), max(2, B))
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
@@ -224,14 +220,14 @@ def subspace_factor_batched(
 
 
 @lru_cache(maxsize=8)
-def _get_split_single(iters: int):
-    """custom_vmap wrapper per (static) iteration count."""
+def _get_split_single(iters: int, interpret: bool):
+    """custom_vmap wrapper per (static) iteration count / interpret mode."""
 
     @jax.custom_batching.custom_vmap
     def _split_single(thr, thi, v0r, v0i):
         q, r = subspace_factor_batched(
             Cpx(thr[None], thi[None]), Cpx(v0r, v0i), v0r.shape[1],
-            iters=iters, interpret=_force_interpret(),
+            iters=iters, interpret=interpret,
         )
         return q.re[0], q.im[0], r.re[0], r.im[0]
 
@@ -248,7 +244,7 @@ def _get_split_single(iters: int):
             v0i = v0i[0]
         q, r = subspace_factor_batched(
             Cpx(thr, thi), Cpx(v0r, v0i), v0r.shape[1],
-            iters=iters, interpret=_force_interpret(),
+            iters=iters, interpret=interpret,
         )
         return (q.re, q.im, r.re, r.im), (True, True, True, True)
 
@@ -256,13 +252,13 @@ def _get_split_single(iters: int):
 
 
 def subspace_factor(
-    theta: Cpx, v0: Cpx, keep: int, iters: int = 1
+    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False
 ) -> tuple[Cpx, Cpx]:
     """Drop-in for the matmul+orth chain in ops/svd._split_subspace (TPU
     f32, iters unrolled in-kernel; see _make_split_kernel for the iters>1
     semantics). Works under the engine's vmap level via a custom batching
     rule mapping the whole batch into one kernel launch."""
     assert v0.re.shape[1] == keep
-    fn = _get_split_single(iters)
+    fn = _get_split_single(iters, interpret)
     qre, qim, rre, rim = fn(theta.re, theta.im, v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim)

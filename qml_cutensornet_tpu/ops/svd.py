@@ -186,15 +186,26 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         # second-order in the truncation error (see SimConfig docs).
         power_ctx = lambda: jax.default_matmul_precision(cfg.power_precision)
 
-    if cfg.power_precision == "inherit" and pallas_split.fused_split_supported(
-        m, k, keep, rdt, iters
+    if (
+        cfg.fused_split
+        # The kernel's dots are pinned at HIGHEST; engaging it under a
+        # lowered ambient/power precision would silently change the
+        # numerics class mid-A/B, so it only replaces the full-precision
+        # configuration.
+        and cfg.matmul_precision in ("highest", "float32")
+        and cfg.power_precision == "inherit"
+        and pallas_split.fused_split_supported(
+            m, k, keep, rdt, iters, interpret=cfg.fused_interpret
+        )
     ):
         # One fused VMEM-resident launch for the whole chain (theta loaded
         # once; same BCGS2 body, HIGHEST-precision dots — see the module
         # docstring for the rounding-delta argument; for iters > 1 the
         # kernel runs the better-conditioned inter-orth double-multiply
         # form, span-identical to the h-power loop in exact arithmetic).
-        q, r = pallas_split.subspace_factor(theta, v, keep, iters)
+        q, r = pallas_split.subspace_factor(
+            theta, v, keep, iters, interpret=cfg.fused_interpret
+        )
     elif iters == 1:
         # Single power step: apply theta twice (two skinny [m,k]x[k,keep]
         # products) instead of forming theta theta^H (an [m,m,k] product) —

@@ -332,11 +332,11 @@ def build_kernel_matrix_sharded(
 
     t0 = time.perf_counter()
     if ring_mode == "fused":
-        ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.matmul_precision)
+        ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.resolved_tile_precision)
         k = ring(out_x.tensors, out_y.tensors)
         k = to_host(jax.block_until_ready(k))
     else:
-        step = make_ring_steps(mesh, n_iters, symmetric, cfg.matmul_precision)
+        step = make_ring_steps(mesh, n_iters, symmetric, cfg.resolved_tile_precision)
         stripe_sharding = NamedSharding(mesh, P(None, AXIS))
         len_x_padded = x_pad.shape[0]
 
@@ -423,8 +423,8 @@ def build_kernel_matrix_sharded(
             # gather); it compiles once per batch size — negligible against
             # a multi-chip-scale build, and the mesh path is not used for
             # CLI-style many-small-runs sweeps.
-            n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.matmul_precision))
-            n2y = to_host(state_norms_sq(out_y.tensors, precision=cfg.matmul_precision))
+            n2x = to_host(state_norms_sq(out_x.tensors, precision=cfg.resolved_tile_precision))
+            n2y = to_host(state_norms_sq(out_y.tensors, precision=cfg.resolved_tile_precision))
             k = k / np.outer(n2y, n2x)
 
     profiling["kernel_mat_time"] = [gram_time, "seconds"]

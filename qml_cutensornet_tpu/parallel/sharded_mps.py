@@ -562,7 +562,7 @@ def sharded_gram(ansatz, X, cfg: SimConfig, mesh, tile: int = 32) -> np.ndarray:
     k = np.asarray(
         sharded_tile_overlaps_sq(
             st.tensors, st.tensors, mesh, tile=tile,
-            precision=cfg.matmul_precision,
+            precision=cfg.resolved_tile_precision,
         )
     )
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":

@@ -293,10 +293,15 @@ def test_power_precision_plumbing():
     for iters in (1, 2):
         base = SimConfig(chi=16, svd_method="subspace", subspace_iters=iters)
         lowp = SimConfig(chi=16, svd_method="subspace", subspace_iters=iters,
-                         power_precision="float32")
+                         power_precision="high")
         l0, r0, f0, k0 = truncated_svd(th, base, keep=16)
         l1, r1, f1, k1 = truncated_svd(th, lowp, keep=16)
         np.testing.assert_array_equal(np.asarray(l0.re), np.asarray(l1.re))
         np.testing.assert_array_equal(np.asarray(r0.im), np.asarray(r1.im))
     with pytest.raises(ValueError):
         SimConfig(power_precision="nope")
+    with pytest.raises(ValueError):
+        SimConfig(tile_precision="nope")
+    assert SimConfig().resolved_tile_precision == "highest"
+    assert SimConfig(tile_precision="high").resolved_tile_precision == "high"
+    assert SimConfig(matmul_precision="high").resolved_tile_precision == "high"

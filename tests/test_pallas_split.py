@@ -136,28 +136,54 @@ def test_batch_padding_roundtrip():
 @pytest.mark.parametrize("iters", [1, 2])
 def test_end_to_end_gram_via_svd_routing(monkeypatch, iters):
     """Drive the REAL production path (ops/svd._split_subspace routing +
-    simulate + gram) through the fused kernel in interpret mode and pin it
-    against the default engine: same Gram to f32 accumulation noise.
-    iters=2 is the CLI default config (QMLTPU_SUBSPACE_ITERS)."""
-    monkeypatch.setenv("QMLTPU_FUSED_SPLIT_INTERPRET", "1")
+    simulate + gram) through the fused kernels in interpret mode and pin
+    it against the default engine: same Gram to f32 accumulation noise.
+    iters=2 is the CLI default config (QMLTPU_SUBSPACE_ITERS). The fused
+    knobs are SimConfig fields (static jit args), so the two builds below
+    can never alias each other's traces. Counters assert the fused
+    kernels actually ran — chi/staging are chosen so the split shape
+    ([32, 32], keep=16) is kernel-eligible."""
     import numpy as np
 
     from qml_cutensornet_tpu.config import SimConfig
     from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
     from qml_cutensornet_tpu.models.entanglement import entanglement_graph
     from qml_cutensornet_tpu.models.gram import build_kernel_matrix
-    from qml_cutensornet_tpu.ops import pallas_split
+    from qml_cutensornet_tpu.ops import pallas_qr, pallas_split, svd
+
+    # Single-stage execution at the full cap: staged-chi would run the
+    # ramp-up stages at keep < 16, below the kernel's PANEL alignment.
+    monkeypatch.setenv("QMLTPU_STAGED", "0")
+
+    calls = {"split": 0, "qr_r": 0}
+    real_split = pallas_split.subspace_factor
+    real_qr_r = pallas_qr.qr_with_r_pallas
+
+    def counting_split(*a, **k):
+        calls["split"] += 1
+        return real_split(*a, **k)
+
+    def counting_qr_r(*a, **k):
+        calls["qr_r"] += 1
+        return real_qr_r(*a, **k)
+
+    monkeypatch.setattr(pallas_split, "subspace_factor", counting_split)
+    monkeypatch.setattr(pallas_qr, "qr_with_r_pallas", counting_qr_r)
 
     nq = 8
-    assert pallas_split.fused_split_supported(32, 32, 16, jnp.float32)
     rng = np.random.default_rng(7)
     X = rng.uniform(0.0, 2.0, size=(4, nq))
     ansatz = KernelStateAnsatz(nq, 1, 1.0, entanglement_graph(nq, 2))
-    cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
-                    subspace_iters=iters)
-    k_fused = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=4, tile=4)
+    fused_cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                          subspace_iters=iters, fused_split=True,
+                          fused_interpret=True)
+    k_fused = build_kernel_matrix(ansatz, X, cfg=fused_cfg, sim_batch=4, tile=4)
+    assert calls["split"] > 0, "fused split kernel never engaged"
 
-    monkeypatch.setenv("QMLTPU_FUSED_SPLIT_INTERPRET", "0")
-    k_plain = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=4, tile=4)
+    plain_cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                          subspace_iters=iters)
+    k_plain = build_kernel_matrix(ansatz, X, cfg=plain_cfg, sim_batch=4, tile=4)
     np.testing.assert_allclose(k_fused, k_plain, atol=3e-5)
-    assert not pallas_split.fused_split_supported(32, 32, 16, jnp.float32)
+    assert np.abs(k_fused - k_plain).max() > 0.0, (
+        "identical kernels: the fused path cannot have produced these"
+    )
