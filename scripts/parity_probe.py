@@ -113,7 +113,23 @@ def main():
     ).split(",")
     print(f"{'case':>38s}  {'max_abs_err':>12s}  {'rms_err':>10s}  {'secs':>7s}")
     for case in cases:
-        prec, svd, iters, chi, routing = case.strip().split(":")
+        parts = case.strip().split(":")
+        prec, svd, iters, chi, routing = parts[:5]
+        # Optional trailing fields: "fused" (fused Pallas kernels; add
+        # "interp" to force interpret mode off-TPU), "pp=high" /
+        # "tp=high" (power/tile precision) — the round-3 knobs.
+        extra = {}
+        for flag in parts[5:]:
+            if flag == "fused":
+                extra["fused_split"] = True
+            elif flag == "interp":
+                extra["fused_interpret"] = True
+            elif flag.startswith("pp="):
+                extra["power_precision"] = flag[3:]
+            elif flag.startswith("tp="):
+                extra["tile_precision"] = flag[3:]
+            else:
+                raise ValueError(f"unknown probe flag {flag!r} in {case!r}")
         ansatz = (
             ansatz_ref
             if routing == "reference"
@@ -125,6 +141,7 @@ def main():
             precision=prec,
             svd_method=svd,
             subspace_iters=int(iters),
+            **extra,
         )
         t0 = time.perf_counter()
         k = build_kernel_matrix(

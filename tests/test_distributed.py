@@ -105,3 +105,20 @@ def test_ring_checkpoint_resume(setup, tmp_path):
     )
     np.testing.assert_allclose(K, K_ref, atol=1e-10)
     assert not (ck / f"checkpoint_ring_{info.name}.npz").is_file()
+
+
+def test_sharded_ring_with_fused_kernels(setup):
+    """The fused Pallas kernels (interpret mode) must compose with the
+    shard_map + ppermute ring: kernel launches happen per-shard inside the
+    mapped body. Pins the combination BEFORE any default flip of
+    QMLTPU_FUSED_SPLIT on TPU. f32 at chi=16 so the split shapes
+    ([32, 32], keep=16) are kernel-eligible."""
+    ansatz, _, X, _, _, _ = setup
+    f32 = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                    subspace_iters=1)
+    K_ref = q.build_kernel_matrix(ansatz, X[:12], truncation_error=1e-16, cfg=f32)
+    fused = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                      subspace_iters=1, fused_split=True, fused_interpret=True)
+    mesh = make_mesh(4)
+    K = build_kernel_matrix_sharded(ansatz, X[:12], cfg=fused, mesh=mesh)
+    np.testing.assert_allclose(K, K_ref, atol=3e-5)
