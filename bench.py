@@ -133,13 +133,17 @@ def main() -> None:
             log(f"max_abs_err vs f64 golden ({g}x{g} block): {max_abs_err:.3e}")
         else:
             log("golden present but config/dataset mismatch; skipping parity column")
+    avg_fidelity = sim_s = dot_s = None
     try:
         import json as _json
 
         prof = _json.load(open("/tmp/bench_profile.json"))
-        log(f"avg_fidelity={prof['avg_fidelity'][0]:.8f} "
+        avg_fidelity = round(float(prof["avg_fidelity"][0]), 8)
+        sim_s = round(float(prof["r0_circ_sim"][0]), 3)
+        dot_s = round(float(prof["r0_product"][0]), 3)
+        log(f"avg_fidelity={avg_fidelity:.8f} "
             f"avg_max_chi={prof['ave max chi x'][0]:.1f} "
-            f"sim={prof['r0_circ_sim'][0]:.2f}s tiles={prof['r0_product'][0]:.2f}s")
+            f"sim={sim_s:.2f}s tiles={dot_s:.2f}s")
     except Exception:
         pass
 
@@ -155,6 +159,9 @@ def main() -> None:
         "unit": "seconds",
         "vs_baseline": round(baseline / t_warm, 2),
         "max_abs_err_vs_f64_golden": max_abs_err,
+        "avg_fidelity": avg_fidelity,
+        "sim_seconds": sim_s,
+        "tile_seconds": dot_s,
     }))
 
 
