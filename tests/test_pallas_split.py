@@ -187,3 +187,44 @@ def test_end_to_end_gram_via_svd_routing(monkeypatch, iters):
     assert np.abs(k_fused - k_plain).max() > 0.0, (
         "identical kernels: the fused path cannot have produced these"
     )
+
+
+def test_brick_engine_with_fused_kernels(monkeypatch):
+    """The brick (Vidal/Hastings) engine flattens layer pairs into one
+    vmap level over truncated_split_right — the fused kernel must map that
+    whole [B*K] batch into kernel launches and agree with the unfused
+    brick engine. This is the flagship nq>=100 routing; pin it before any
+    TPU default flip."""
+    import numpy as np
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    monkeypatch.setenv("QMLTPU_STAGED", "0")
+    calls = {"split": 0}
+    real_split = pallas_split.subspace_factor
+
+    def counting_split(*a, **k):
+        calls["split"] += 1
+        return real_split(*a, **k)
+
+    monkeypatch.setattr(pallas_split, "subspace_factor", counting_split)
+
+    nq = 8
+    rng = np.random.default_rng(9)
+    X = rng.uniform(0.0, 2.0, size=(3, nq))
+    ansatz = KernelStateAnsatz(nq, 1, 1.0, entanglement_graph(nq, 2),
+                               routing="brick")
+    fused_cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                          subspace_iters=1, fused_split=True,
+                          fused_interpret=True)
+    k_fused = build_kernel_matrix(ansatz, X, cfg=fused_cfg, sim_batch=3, tile=3)
+    assert calls["split"] > 0, "fused split kernel never engaged in brick mode"
+
+    plain_cfg = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                          subspace_iters=1)
+    k_plain = build_kernel_matrix(ansatz, X, cfg=plain_cfg, sim_batch=3, tile=3)
+    np.testing.assert_allclose(k_fused, k_plain, atol=3e-5)
