@@ -93,14 +93,36 @@ def _mgs2_panel(a: Cpx, n2_orig, rdt):
     return Cpx(q_re, q_im)
 
 
-def qr_orth_blocked(v: Cpx) -> Cpx:
+def _panel_kernel_ok(m: int, dtype, interpret: bool) -> bool:
+    """Can the VMEM Pallas kernel orthonormalize a [m, PANEL] panel?
+    Buffers are [Bb, PANEL, m] — tiny in the panel dimension, so this
+    holds at ANY chi (m = 2*chi up to thousands of lanes)."""
+    from qml_cutensornet_tpu.ops import pallas_qr
+
+    if interpret:
+        return dtype == jnp.float32 and m % 8 == 0
+    return pallas_qr.pallas_qr_supported(m, PANEL, dtype)
+
+
+def qr_orth_blocked(v: Cpx, pallas_panels: bool = False,
+                    interpret: bool = False) -> Cpx:
     """Orthonormal basis of the columns of ``v [m, k]`` (complex pairs).
     Works under vmap (pure jnp ops). Zero input columns stay exactly zero;
-    numerically dependent columns are zeroed."""
+    numerically dependent columns are zeroed.
+
+    ``pallas_panels=True`` (SimConfig.fused_split, threaded by callers —
+    a static jit choice, not an env read) replaces the scanned-MGS2 panel
+    with ONE VMEM kernel launch per panel (pallas_qr). The inter-panel
+    BCGS2 matmuls — the FLOPs — are unchanged; what this removes is the
+    k-step serial scan whose per-column vector ops round-trip HBM: the
+    panel's 32 sequential steps run at VMEM latency instead. Same MGS2
+    double-pass semantics and dependent-column zeroing (pallas_qr
+    _DEP_TOL2 == _DEP_TOL**2, both on squared norms)."""
     from qml_cutensornet_tpu.ops import cpx
 
     m, k = v.re.shape
     rdt = v.re.dtype
+    use_kernel = pallas_panels and _panel_kernel_ok(m, rdt, interpret)
     pad = (-k) % PANEL
     if pad:
         v = cpx.tmap(lambda t: jnp.pad(t, ((0, 0), (0, pad))), v)
@@ -117,7 +139,21 @@ def qr_orth_blocked(v: Cpx) -> Cpx:
             for _ in range(2):  # BCGS2: double projection pass (matmuls)
                 c = cpx.einsum("mi,mp->ip", cpx.conj(q), a)
                 a = cpx.sub(a, cpx.einsum("mi,ip->mp", q, c))
-        a = _mgs2_panel(a, n2_orig, rdt)
+        if use_kernel:
+            from qml_cutensornet_tpu.ops import pallas_qr
+
+            # The kernel's dependency yardstick is its INPUT norm (post-
+            # BCGS2). A column that already collapsed against EARLIER
+            # panels is an (often correlated) noise residual; it must be
+            # zeroed BEFORE the kernel — if the kernel normalized it, the
+            # panel's later columns would be orthogonalized against junk
+            # (measured: span residuals ~0.05 on the rest of the panel).
+            n2_post = jnp.sum(cpx.abs2(a), axis=0)
+            cross_keep = (n2_post > (_DEP_TOL * _DEP_TOL) * n2_orig).astype(rdt)
+            a = cpx.scale(a, cross_keep[None, :])
+            a = pallas_qr.qr_orth_pallas(a, interpret=interpret)
+        else:
+            a = _mgs2_panel(a, n2_orig, rdt)
         q_re = q_re.at[:, sl].set(a.re)
         q_im = q_im.at[:, sl].set(a.im)
 

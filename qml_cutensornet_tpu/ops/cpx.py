@@ -212,7 +212,7 @@ def _blocked_orth_eligible(v: Cpx) -> bool:
         return False
 
 
-def qr(v: Cpx, fused_r: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
+def qr(v: Cpx, fused: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
     """Complex reduced "QR": ``v = q @ r`` with ``q`` column-orthonormal.
 
     On the TPU f32 path this routes to the Pallas BCGS2 kernel
@@ -229,7 +229,7 @@ def qr(v: Cpx, fused_r: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx
     deficiency) lift to junk — but their R rows are ~0, so Q @ R still
     reproduces v to roundoff.
     """
-    if fused_r and (_pallas_orth_eligible(v) or (interpret and _pallas_shape_ok(v))):
+    if fused and (_pallas_orth_eligible(v) or (interpret and _pallas_shape_ok(v))):
         # One launch for q AND r = q^H v (VMEM-resident; saves the matmul
         # dispatch + q reload per canonical-center move). ``fused_r`` /
         # ``interpret`` are threaded from SimConfig (static jit args),
@@ -246,7 +246,7 @@ def qr(v: Cpx, fused_r: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx
     if _blocked_orth_eligible(v):
         from qml_cutensornet_tpu.ops import blocked_qr
 
-        q = blocked_qr.qr_orth_blocked(v)
+        q = blocked_qr.qr_orth_blocked(v, pallas_panels=fused, interpret=interpret)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r
     e = embed_interleaved(v)  # [2m, 2k]
@@ -258,16 +258,21 @@ def qr(v: Cpx, fused_r: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx
     return lift_interleaved(qe), lift_interleaved(re_)
 
 
-def qr_orth(v: Cpx) -> Cpx:
-    """Orthonormal basis of the columns of ``v`` (Q factor of :func:`qr`)."""
-    if _pallas_orth_eligible(v):
+def qr_orth(v: Cpx, fused: bool = False, interpret: bool = False) -> Cpx:
+    """Orthonormal basis of the columns of ``v`` (Q factor of :func:`qr`).
+    ``fused``/``interpret`` are SimConfig.fused_split / .fused_interpret
+    threaded by callers (static jit choices): ``fused`` routes the
+    large-chi blocked path's panels through the VMEM Pallas kernel."""
+    if _pallas_orth_eligible(v) or (interpret and _pallas_shape_ok(v)):
         from qml_cutensornet_tpu.ops import pallas_qr
 
-        return pallas_qr.qr_orth_pallas(v)
+        return pallas_qr.qr_orth_pallas(
+            v, interpret=interpret and not _pallas_orth_eligible(v)
+        )
     if _blocked_orth_eligible(v):
         from qml_cutensornet_tpu.ops import blocked_qr
 
-        return blocked_qr.qr_orth_blocked(v)
+        return blocked_qr.qr_orth_blocked(v, pallas_panels=fused, interpret=interpret)
     return qr(v)[0]
 
 

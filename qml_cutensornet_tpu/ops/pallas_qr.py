@@ -320,24 +320,32 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     return Cpx(untr(qr_), untr(qi))
 
 
-@jax.custom_batching.custom_vmap
-def _orth_single(re, im):
-    q = orthonormalize_batched(Cpx(re[None], im[None]))
-    return q.re[0], q.im[0]
+@lru_cache(maxsize=4)
+def _get_orth_single(interpret: bool):
+    """custom_vmap wrapper per interpret mode (static, threaded from
+    SimConfig.fused_interpret — never an env read at trace time)."""
+
+    @jax.custom_batching.custom_vmap
+    def _orth_single(re, im):
+        q = orthonormalize_batched(Cpx(re[None], im[None]), interpret=interpret)
+        return q.re[0], q.im[0]
+
+    @_orth_single.def_vmap
+    def _orth_single_vmap(axis_size, in_batched, re, im):
+        del axis_size
+        if not all(in_batched):  # pragma: no cover - engine always batches both
+            raise NotImplementedError(
+                "orthonormalize expects re and im batched together"
+            )
+        q = orthonormalize_batched(Cpx(re, im), interpret=interpret)
+        return (q.re, q.im), (True, True)
+
+    return _orth_single
 
 
-@_orth_single.def_vmap
-def _orth_single_vmap(axis_size, in_batched, re, im):
-    del axis_size
-    if not all(in_batched):  # pragma: no cover - engine always batches both
-        raise NotImplementedError("orthonormalize expects re and im batched together")
-    q = orthonormalize_batched(Cpx(re, im))
-    return (q.re, q.im), (True, True)
-
-
-def qr_orth_pallas(v: Cpx) -> Cpx:
+def qr_orth_pallas(v: Cpx, interpret: bool = False) -> Cpx:
     """Drop-in for cpx.qr_orth on the TPU f32 path. Works under one level of
     vmap (the engine's batch axis) via a custom batching rule that maps the
     whole batch into ONE kernel launch instead of a serial grid."""
-    re, im = _orth_single(v.re, v.im)
+    re, im = _get_orth_single(interpret)(v.re, v.im)
     return Cpx(re, im)

@@ -217,10 +217,10 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         # span(theta theta^H v0) == span(theta orth(theta^H v0))).
         with power_ctx():
             w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
-        w = cpx.qr_orth(w)
+        w = cpx.qr_orth(w, fused=cfg.fused_split, interpret=cfg.fused_interpret)
         with power_ctx():
             v = cpx.einsum("ij,jk->ik", theta, w)
-        q = cpx.qr_orth(v)
+        q = cpx.qr_orth(v, fused=cfg.fused_split, interpret=cfg.fused_interpret)
         r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     else:
         with power_ctx():
@@ -233,7 +233,7 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         for _ in range(iters):
             with power_ctx():
                 v = cpx.einsum("ij,jk->ik", h, v)
-            v = cpx.qr_orth(v)
+            v = cpx.qr_orth(v, fused=cfg.fused_split, interpret=cfg.fused_interpret)
         q = v
         r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
 

@@ -127,3 +127,33 @@ def test_engine_parity_with_forced_blocked_qr(monkeypatch):
         ansatz = KernelStateAnsatz(n, 2, 1.0, emap)  # fresh schedule cache
         ks[mode] = build_kernel_matrix(ansatz, X, cfg=cfg, sim_batch=8, tile=8)
     assert np.abs(ks["0"] - ks["force"]).max() < 5e-6
+
+
+def test_pallas_panels_match_scanned(monkeypatch):
+    """pallas_panels=True (interpret) must satisfy the same contract as the
+    scanned-MGS2 panels: orthonormal significant columns, span preserved,
+    exact zeros for zero columns, cross-panel-dependent columns zeroed."""
+    from qml_cutensornet_tpu.ops.blocked_qr import qr_orth_blocked
+
+    rng = np.random.default_rng(21)
+    m, k = 256, 96  # three panels
+    a = rng.standard_normal((m, k)) + 1j * rng.standard_normal((m, k))
+    a[:, 40] = a[:, 3] * (1 + 3e-7) + 1e-7 * a[:, 5]  # cross-panel dependent
+    a[:, 90:] = 0.0  # exact-zero padding columns
+    v = Cpx(jnp.asarray(a.real, jnp.float32), jnp.asarray(a.imag, jnp.float32))
+
+    qs = qr_orth_blocked(v)  # scanned reference
+    qp = qr_orth_blocked(v, pallas_panels=True, interpret=True)
+    for q in (qs, qp):
+        qc = np.asarray(q.re) + 1j * np.asarray(q.im)
+        assert np.abs(qc[:, 90:]).max() == 0.0  # padding stays exact zero
+        nz = np.linalg.norm(qc, axis=0) > 0.5
+        g = qc[:, nz].conj().T @ qc[:, nz]
+        assert np.abs(g - np.eye(nz.sum())).max() < 5e-5
+        # span: every input column reproduced by projection
+        proj = qc @ (qc.conj().T @ a)
+        assert np.abs(a - proj).max() / np.abs(a).max() < 5e-5
+    # the dependent column is zeroed by BOTH paths
+    for q in (qs, qp):
+        qc = np.asarray(q.re) + 1j * np.asarray(q.im)
+        assert np.linalg.norm(qc[:, 40]) == 0.0
