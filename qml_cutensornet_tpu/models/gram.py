@@ -163,7 +163,7 @@ def build_kernel_matrix(
 
         return build_kernel_matrix_sharded(
             ansatz, X, Y, info_file=info_file, cfg=cfg, mesh=mesh, loglevel=loglevel,
-            checkpoint=checkpoint, checkpoint_dir=checkpoint_dir,
+            checkpoint=checkpoint, checkpoint_dir=checkpoint_dir, sim_batch=sim_batch,
         )
 
     schedule = ansatz.schedule

@@ -242,6 +242,7 @@ def build_kernel_matrix_sharded(
     loglevel: int = 30,
     checkpoint: bool = False,
     checkpoint_dir: str = "tmp",
+    sim_batch: int = 32,
 ) -> np.ndarray:
     """Distributed equivalent of models/gram.build_kernel_matrix over a
     1-D mesh. Returns the [lenY, lenX] kernel on the host.
@@ -252,6 +253,11 @@ def build_kernel_matrix_sharded(
     the single-program ring). With ``checkpoint=True`` and an
     ``info_file``, the assembled stripes are snapshotted after each ring
     iteration and a restarted build resumes from the last completed one.
+
+    ``sim_batch``: total rows per simulation dispatch (rounded down to a
+    device-count multiple), mirroring the single-device path — the batch
+    evolves block-by-block so the C15 circ_sim distribution stats are
+    quartiles over per-block means rather than one whole-batch mean.
     """
     assert mesh is not None
     cfg = cfg or SimConfig()
@@ -272,34 +278,61 @@ def build_kernel_matrix_sharded(
     start = time.perf_counter()
     profiling["r0_circ_gen"] = [0.0, "seconds"]
 
-    x_pad, _ = _pad_rows(X, ndev)
-    y_pad, _ = _pad_rows(Yarr, ndev)
+    # Rows per simulation dispatch: a device-count multiple so every block
+    # shards evenly, capped at the batch's own ndev-padded length so small
+    # batches are not inflated. All of one batch's blocks share ONE shape
+    # (one compile); the batch is padded up to a block multiple — the same
+    # waste bound as the single-device path's sim_batch padding.
+    def _block_rows(n: int) -> int:
+        return min(max(ndev, sim_batch // ndev * ndev), -(-n // ndev) * ndev)
+
+    block_x = _block_rows(len_x)
+    block_y = block_x if symmetric else _block_rows(len_y)
+    x_pad, _ = _pad_rows(X, block_x)
+    y_pad, _ = _pad_rows(Yarr, block_y)
     len_y_padded = y_pad.shape[0]
 
     # Chunked SPMD simulation: bounded per-dispatch duration (tunneled TPU
     # watchdogs) with the batch axis sharded over the mesh.
     sim = make_chunked_simulator(schedule, cfg, mesh=mesh)
 
+    def _sim_blocks(feats, block):
+        """Evolve ``feats`` block-by-block, timing each dispatch (the C15
+        per-batch distribution samples, models/gram.simulate_dataset).
+        Returns (out, per-circuit-per-device mean times, one per block)."""
+        outs, times = [], []
+        for s in range(0, feats.shape[0], block):
+            t0 = time.perf_counter()
+            outs.append(jax.block_until_ready(sim(feats[s : s + block])))
+            times.append((time.perf_counter() - t0) / block * ndev)
+        if len(outs) == 1:
+            return outs[0], times
+        # Equal block shapes (same chi padding) -> a plain batch-axis concat;
+        # the ring's shard_map re-shards its inputs, so no explicit
+        # device_put is needed here.
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs), times
+
     t0 = time.perf_counter()
-    out_x = jax.block_until_ready(sim(x_pad))
+    out_x, x_times = _sim_blocks(x_pad, block_x)
     if symmetric:
-        out_y = out_x
+        out_y, y_times = out_x, []
     else:
-        out_y = jax.block_until_ready(sim(y_pad))
+        out_y, y_times = _sim_blocks(y_pad, block_y)
     sim_time = time.perf_counter() - t0
     profiling["r0_circ_sim"] = [sim_time, "seconds"]
-    n_sim = x_pad.shape[0] + (0 if symmetric else y_pad.shape[0])
-    per_circ = sim_time / max(1, n_sim) * ndev
-    profiling["avg_circ_sim"] = [per_circ, "seconds"]
-    # Batched execution exposes only aggregate wall-clock; the distribution
-    # stats of the reference schema (C15) degenerate to the mean. Flagged
-    # explicitly so downstream readers don't mistake them for quartiles.
-    profiling["median_circ_sim"] = [per_circ, "seconds"]
-    profiling["q1_circ_sim"] = [per_circ, "seconds"]
-    profiling["q3_circ_sim"] = [per_circ, "seconds"]
+    # One sample per dispatched block — the same semantics as the
+    # single-device path (quartiles over per-batch means, NOT per-circuit
+    # quartiles; batched execution cannot observe single circuits). Flagged
+    # via stats_semantics.
+    per_block = np.asarray(x_times + y_times)
+    profiling["avg_circ_sim"] = [float(np.mean(per_block)), "seconds"]
+    profiling["median_circ_sim"] = [float(np.median(per_block)), "seconds"]
+    profiling["q1_circ_sim"] = [float(np.percentile(per_block, 25)), "seconds"]
+    profiling["q3_circ_sim"] = [float(np.percentile(per_block, 75)), "seconds"]
     profiling["stats_semantics"] = [
-        "batched execution: circ_sim/product median/q1/q3 are per-batch means,"
-        " not distribution quartiles",
+        "batched execution: circ_sim stats are quartiles over per-block means"
+        " and product stats quartiles over per-ring-iteration means,"
+        " not per-circuit/per-pair distribution quartiles",
         "",
     ]
 
@@ -325,12 +358,14 @@ def build_kernel_matrix_sharded(
     profiling["gpu_mps_mem"] = [float(total_mem / ndev), "MiB"]
     profiling["avg_mps_mem"] = [float(bytes_per_mps / (1024**2)), "MiB"]
     if verbose:
+        n_sim = x_pad.shape[0] + (0 if symmetric else y_pad.shape[0])
         print(f"[mesh:{ndev}] simulated {n_sim} MPS in {sim_time:.3f}s")
 
     n_iters = (ndev // 2) + 1 if symmetric else ndev
     ring_mode = os.environ.get("QMLTPU_RING", "stepwise")
 
     t0 = time.perf_counter()
+    iter_times: list[float] = []
     if ring_mode == "fused":
         ring = make_ring_gram(mesh, n_iters, symmetric, len_y_padded, cfg.resolved_tile_precision)
         k = ring(out_x.tensors, out_y.tensors)
@@ -389,7 +424,13 @@ def build_kernel_matrix_sharded(
         for _ in range(start_iter):
             ay_cur = rotate(ay_cur)
         for i in range(start_iter, n_iters):
+            t_it = time.perf_counter()
             ay_cur, k_dev = step(i, out_x.tensors, ay_cur, k_dev)
+            # Sync per iteration: one distribution sample per ring step
+            # (iterations are data-dependent serial anyway — each consumes
+            # the previous step's rotated Y blocks).
+            jax.block_until_ready(k_dev)
+            iter_times.append(time.perf_counter() - t_it)
             if ckpt_file is not None:
                 k_snap = to_host(jax.block_until_ready(k_dev))
                 if process_index() == 0:
@@ -430,11 +471,22 @@ def build_kernel_matrix_sharded(
     profiling["kernel_mat_time"] = [gram_time, "seconds"]
     profiling["r0_product"] = [gram_time, "seconds"]
     n_pairs = max(1, len_y_padded * x_pad.shape[0] // ndev)
-    per_vdot = gram_time / n_pairs * ndev
-    profiling["avg_product"] = [per_vdot, "seconds"]
-    profiling["median_product"] = [per_vdot, "seconds"]
-    profiling["q1_product"] = [per_vdot, "seconds"]
-    profiling["q3_product"] = [per_vdot, "seconds"]
+    if iter_times:
+        # Stepwise ring: one sample per iteration — per-pair-per-device
+        # means over the (Byl x Bxl) tile each device contracts per step.
+        pairs_per_iter = max(1, (len_y_padded // ndev) * (x_pad.shape[0] // ndev))
+        per_it = np.asarray(iter_times) / pairs_per_iter
+        profiling["avg_product"] = [float(np.mean(per_it)), "seconds"]
+        profiling["median_product"] = [float(np.median(per_it)), "seconds"]
+        profiling["q1_product"] = [float(np.percentile(per_it, 25)), "seconds"]
+        profiling["q3_product"] = [float(np.percentile(per_it, 75)), "seconds"]
+    else:
+        # Fused single-program ring exposes only the aggregate.
+        per_vdot = gram_time / n_pairs * ndev
+        profiling["avg_product"] = [per_vdot, "seconds"]
+        profiling["median_product"] = [per_vdot, "seconds"]
+        profiling["q1_product"] = [per_vdot, "seconds"]
+        profiling["q3_product"] = [per_vdot, "seconds"]
     profiling["r_nonRR_recv"] = [0.0, "seconds"]
     profiling["r0_RR_recv"] = [0.0, "seconds"]
     profiling["total_time"] = [time.perf_counter() - start, "seconds"]
