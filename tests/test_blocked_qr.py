@@ -157,3 +157,69 @@ def test_pallas_panels_match_scanned(monkeypatch):
     for q in (qs, qp):
         qc = np.asarray(q.re) + 1j * np.asarray(q.im)
         assert np.linalg.norm(qc[:, 40]) == 0.0
+
+
+def test_engine_fused_routes_panels_through_kernel(monkeypatch):
+    """Above the single-kernel range (keep > 128, where the whole-chain
+    fused split kernel is ineligible and cfg.fused_split instead means
+    "Pallas panels inside blocked QR"), the engine's orthonormalizations
+    must actually reach the panel kernel (counter-asserted — a staged-chi
+    config can silently shrink shapes below eligibility and make the A/B
+    vacuous), and the kernel-routed states must match the scanned-panel
+    ones to engine-noise scale."""
+    monkeypatch.setenv("QMLTPU_PALLAS_QR", "0")  # single-kernel orth off:
+    # every orthonormalization goes through blocked_qr (forced below),
+    # isolating the panel routing.
+    monkeypatch.setenv("QMLTPU_BLOCKED_QR", "force")
+    monkeypatch.setenv("QMLTPU_STAGED", "0")  # one stage at full chi: the
+    # ramp's small buckets would re-admit the whole-chain fused kernel.
+    import numpy as np
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.simulate import make_chunked_simulator
+    from qml_cutensornet_tpu.ops import pallas_qr
+
+    calls = {"n": 0}
+    real = pallas_qr.qr_orth_pallas
+
+    def counting(v, interpret=False):
+        calls["n"] += 1
+        return real(v, interpret=interpret)
+
+    # blocked_qr resolves the function through the module object at call
+    # time, so patching the module attribute is seen inside traces.
+    monkeypatch.setattr(pallas_qr, "qr_orth_pallas", counting)
+
+    rng = np.random.default_rng(4)
+    n = 16
+    emap = entanglement_graph(n, 3)
+    X = rng.uniform(0, 2, size=(2, n))
+    common = dict(chi=160, truncation_error=1e-16, precision="f32",
+                  svd_method="subspace", subspace_iters=1)
+    outs = {}
+    for fused in (False, True):
+        cfg = SimConfig(fused_split=fused, fused_interpret=fused, **common)
+        ansatz = KernelStateAnsatz(n, 1, 1.0, emap)  # fresh schedule cache
+        before = calls["n"]
+        outs[fused] = jax.block_until_ready(
+            make_chunked_simulator(ansatz.schedule, cfg)(X)
+        )
+        if fused:
+            assert calls["n"] > before, "fused run never reached the panel kernel"
+        else:
+            assert calls["n"] == before
+    # Orthonormalizers fix the subspace, not the basis: the two paths'
+    # tensors differ by a bond-space gauge rotation. Compare the physical
+    # states instead: normalized cross-overlaps must be 1.
+    from qml_cutensornet_tpu.models.simulate import tile_overlaps_sq
+
+    kab = np.asarray(tile_overlaps_sq(outs[False].tensors, outs[True].tensors,
+                                      precision="highest"))
+    kaa = np.asarray(tile_overlaps_sq(outs[False].tensors, outs[False].tensors,
+                                      precision="highest"))
+    kbb = np.asarray(tile_overlaps_sq(outs[True].tensors, outs[True].tensors,
+                                      precision="highest"))
+    fid = np.diag(kab) / np.sqrt(np.diag(kaa) * np.diag(kbb))
+    assert np.abs(fid - 1.0).max() < 5e-6
