@@ -62,7 +62,34 @@ def main() -> None:
     setup_compilation_cache()
     import jax
 
-    log(f"bench devices: {jax.devices()}")
+    # Bounded backend probe: a wedged TPU tunnel hangs jax.devices()
+    # indefinitely (observed: hours). Healthy init is seconds (compiles are
+    # slow, init is not), so a generous timeout only ever fires on a dead
+    # backend — emit a legible JSON error line instead of hanging forever.
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devs"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend init failure
+            probe["err"] = repr(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300")))
+    if "devs" not in probe:
+        print(json.dumps({
+            "metric": "train-Gram wall-clock (backend unavailable)",
+            "value": None,
+            "unit": "seconds",
+            "vs_baseline": None,
+            "error": probe.get("err", "jax backend init timed out"),
+        }))
+        sys.exit(1)
+
+    log(f"bench devices: {probe['devs']}")
 
     # Feature data through the REAL pipeline (sampler + scaler chain): the
     # reference's chi statistics depend on the post-scaler feature
