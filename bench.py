@@ -120,6 +120,7 @@ def main() -> None:
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
+        brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
         f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")

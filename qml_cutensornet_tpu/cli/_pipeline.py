@@ -28,6 +28,10 @@ positional contract come from environment variables:
     QMLTPU_FUSED_SPLIT 1 enables the fused Pallas subspace-split + Q+R
                        kernels (TPU f32, chi <= 128; default 0 until
                        benched — see ops/pallas_split.py)
+    QMLTPU_BRICK_CAPS  1 enables per-pair structural bond caps in the brick
+                       engine (exact; edge pairs dispatch at sliced shapes
+                       — see ops/vidal.structural_caps; default 0 until
+                       benched)
     QMLTPU_TILE_PRECISION  matmul precision for the Gram-tile contractions
                        only (default "inherit"; "high" = 3-pass bf16 —
                        measure parity before relying on it)
@@ -146,6 +150,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
+        brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     if chi_env == "auto":
         if sample_features is None:

@@ -104,6 +104,19 @@ class SimConfig:
     # interpret mode so CPU CI can pin the real TPU routing end to end.
     fused_split: bool = False
     fused_interpret: bool = False
+    # Per-pair STRUCTURAL bond caps in the brick engine (ops/vidal.py): a
+    # bond j real-site bipartition (l left, r right) admits Schmidt rank at
+    # most min(2^l, 2^r), so edge pairs can run their theta contractions and
+    # factorization at sliced [cap, 2, cap] shapes — EXACT under the
+    # zero-padding invariant (kept rank never exceeds the structural bound;
+    # entries beyond it are exact zeros), saving the edge-pair fraction of
+    # the cubic work (~14% of pairs at nq=100 chi=128, more at chi=512
+    # where 9 bonds/side sit under cap — docs/ROADMAP.md). Static config
+    # (not env-at-trace) for the same jaxpr-cache reason as fused_split.
+    # Default off until the on-chip A/B (runs/perf_ab) clears the decision
+    # rule; whole-chain engine only (the site-sharded engine needs uniform
+    # per-shard shapes).
+    brick_struct_caps: bool = False
 
     def __post_init__(self):
         if self.criterion not in ("fidelity", "cutoff"):

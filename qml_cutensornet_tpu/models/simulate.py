@@ -578,7 +578,7 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
         def chunk_batch(state, parities, swaps, actives, thetas):
             with jax.default_matmul_precision(cfg.matmul_precision):
                 return constrain(
-                    vidal.layer_scan(state, parities, swaps, actives, thetas, cfg_s)
+                    vidal.layer_scan(state, parities, swaps, actives, thetas, cfg_s, n=n)
                 )
 
         @jax.jit

@@ -107,6 +107,39 @@ def apply_diag_real_sites(state: VidalState, phases: Cpx) -> VidalState:
     return state._replace(tensors=Cpx(upd(t.re, mid.re), upd(t.im, mid.im)))
 
 
+def structural_caps(n: int, K: int, chi: int) -> list[tuple[int, int, int]]:
+    """Static per-pair-index bond-cap triples ``(cl, cm, cr)`` for one brick
+    layer over ``n`` real sites (padded convention: real sites 1..n, one
+    leading dummy — module docstring).
+
+    Bond ``j`` (between padded sites j, j+1) bipartitions the real chain
+    into ``l = min(j, n)`` left / ``r = n - l`` right sites, so its Schmidt
+    rank — hence the engine's kept rank, hence (by the exact-zero padding
+    invariant) the extent of nonzero entries in the stored tensors — is at
+    most ``min(2^l, 2^r)``. Pair ``k`` sits at middle bond ``parity + 2k``
+    with parity traced in {0, 1} inside the layer scan, so each cap is the
+    MAX over both parities: static per pair index, conservative, exact.
+    Caps are rounded up to powers of two (fewer distinct chunk shapes to
+    compile) and floored at 4 (dodge degenerate-kernel paths; the cost is
+    negligible)."""
+
+    def sb(j: int) -> int:
+        l = min(max(j, 0), n)
+        m = min(l, n - l)
+        return chi if m >= 31 else min(chi, 1 << m)
+
+    rnd = lambda c: min(chi, max(4, 1 << (c - 1).bit_length()))
+    out = []
+    for k in range(K):
+        j0, j1 = 2 * k, 2 * k + 1  # middle bond at parity 0 / 1
+        out.append((
+            rnd(max(sb(j0 - 1), sb(j1 - 1))),
+            rnd(max(sb(j0), sb(j1))),
+            rnd(max(sb(j0 + 1), sb(j1 + 1))),
+        ))
+    return out
+
+
 def _pair_chunk(K: int, chi: int, batch: int) -> int:
     """Pairs per sub-step within a brick layer. At large chi the layer's
     theta intermediates ([B, K, chi, 2, 2, chi] pairs of f32 arrays)
@@ -127,6 +160,7 @@ def brick_layer(
     active,
     thetas,
     cfg: SimConfig,
+    n: int | None = None,
 ) -> VidalState:
     """One brick layer: simultaneous two-site updates on all pairs
     ``(parity + 2k, parity + 2k + 1)``, k in [0, K), processed in
@@ -136,10 +170,33 @@ def brick_layer(
     XXPhase@SWAP network step, 0.0 = plain XXPhase brick); ``active [K]``
     bool (shared across the batch — inactive pairs are exact no-ops via
     select); ``thetas [B, K]`` per-sample angles (0 on non-firing pairs).
+
+    With ``cfg.brick_struct_caps`` and ``n`` (real site count) given, pair
+    chunks additionally split at :func:`structural_caps` bucket boundaries
+    and each chunk dispatches at its bucket's sliced shapes — exact, and
+    skips the edge pairs' full-chi cubic work.
     """
     K = active.shape[0]
     chi = state.tensors.re.shape[2]
-    kc = _pair_chunk(K, chi, state.tensors.re.shape[0])
+    batch = state.tensors.re.shape[0]
+    if cfg.brick_struct_caps and n is not None:
+        caps = structural_caps(n, K, chi)
+        k0 = 0
+        while k0 < K:
+            c = caps[k0]
+            k1 = k0 + 1
+            while k1 < K and caps[k1] == c:
+                k1 += 1
+            kc = _pair_chunk(k1 - k0, max(c), batch)
+            for s in range(k0, k1, kc):
+                sl = slice(s, min(k1, s + kc))
+                state = _brick_pairs(
+                    state, parity, s, swap_w, active[sl], thetas[:, sl], cfg,
+                    caps=c,
+                )
+            k0 = k1
+        return state
+    kc = _pair_chunk(K, chi, batch)
     for k0 in range(0, K, kc):
         sl = slice(k0, min(K, k0 + kc))
         state = _brick_pairs(
@@ -151,16 +208,20 @@ def brick_layer(
 def update_pairs(a: Cpx, b: Cpx, lam_l, thetas, swap_w, cfg: SimConfig):
     """Batched Hastings two-site updates on already-gathered pairs.
 
-    ``a``/``b`` [B, K, chi, 2, chi] Cpx (left/right B-form site tensors of
-    each pair), ``lam_l`` [B, K, chi] (Schmidt weights on each pair's LEFT
-    bond), ``thetas`` [B, K] XXPhase angles, ``swap_w`` traced scalar
-    (1.0 = fused XXPhase@SWAP network step, 0.0 = plain XXPhase).
+    ``a [B, K, cl, 2, cm]`` / ``b [B, K, cm, 2, cr]`` Cpx (left/right
+    B-form site tensors of each pair — square ``cl = cm = cr = chi`` in the
+    plain engine, rectangular structural-cap slices under
+    ``cfg.brick_struct_caps``), ``lam_l`` [B, K, cl] (Schmidt weights on
+    each pair's LEFT bond), ``thetas`` [B, K] XXPhase angles, ``swap_w``
+    traced scalar (1.0 = fused XXPhase@SWAP network step, 0.0 = plain
+    XXPhase). The updated middle bond keeps at most ``cm`` directions.
 
     Returns ``(new_a, new_b, s, kf, rank)`` with no active-pair select and
     no scatter — callers own gather/select/scatter (the whole-chain engine
     below gathers by padded site index; the site-sharded engine,
     parallel/sharded_mps.py, gathers from its local block + halo)."""
-    B, K, chi = a.re.shape[0], a.re.shape[1], a.re.shape[2]
+    B, K = a.re.shape[0], a.re.shape[1]
+    cl, cm, cr = a.re.shape[2], a.re.shape[4], b.re.shape[4]
     rdt = cfg.real_dtype
 
     # theta~ = G (a b): gate built per (sample, pair). XXSW = XX with
@@ -179,19 +240,18 @@ def update_pairs(a: Cpx, b: Cpx, lam_l, thetas, swap_w, cfg: SimConfig):
     # Weight by the left lambda -> the Schmidt matrix of bond idx.
     theta_w = cpx.tmap(lambda x: x * lam_l[:, :, :, None, None, None], theta_t)
 
-    flat = lambda x: x.reshape(B * K, chi * 2, 2 * chi)
+    flat = lambda x: x.reshape(B * K, cl * 2, 2 * cr)
     th_w = cpx.tmap(flat, theta_w)
     th_t = cpx.tmap(flat, theta_t)
 
-    v, s, kf, rank = jax.vmap(lambda m: truncated_split_right(m, cfg, chi))(th_w)
+    v, s, kf, rank = jax.vmap(lambda m: truncated_split_right(m, cfg, cm))(th_w)
     # Hastings: new left tensor from the UNWEIGHTED theta (no lambda
     # inverse): B_i' = theta~ V^H.
-    new_a = cpx.einsum("bmk,bck->bmc", th_t, cpx.conj(v))  # [B*K, chi*2, chi]
+    new_a = cpx.einsum("bmk,bck->bmc", th_t, cpx.conj(v))  # [B*K, cl*2, cm]
 
-    resh = lambda x: x.reshape(B, K, chi, 2, chi)
-    new_a = cpx.tmap(resh, new_a)
-    new_b = cpx.tmap(lambda x: x.reshape(B, K, chi, 2, chi), v)
-    return new_a, new_b, s.reshape(B, K, chi), kf.reshape(B, K), rank.reshape(B, K)
+    new_a = cpx.tmap(lambda x: x.reshape(B, K, cl, 2, cm), new_a)
+    new_b = cpx.tmap(lambda x: x.reshape(B, K, cm, 2, cr), v)
+    return new_a, new_b, s.reshape(B, K, cm), kf.reshape(B, K), rank.reshape(B, K)
 
 
 def _brick_pairs(
@@ -202,21 +262,37 @@ def _brick_pairs(
     active,
     thetas,
     cfg: SimConfig,
+    caps: tuple[int, int, int] | None = None,
 ) -> VidalState:
     """Update the pair-index range [k_off, k_off + len(active)) of one
-    brick layer (see :func:`brick_layer`)."""
+    brick layer (see :func:`brick_layer`).
+
+    ``caps = (cl, cm, cr)`` (structural bond caps of every pair in the
+    range, :func:`structural_caps`) slices the gathered pair blocks before
+    the update and zero-pads on writeback — exact for active AND inactive
+    pairs, because stored entries beyond a bond's structural cap are exact
+    zeros at all times (kept rank <= structural Schmidt bound)."""
     t = state.tensors
     K = active.shape[0]
+    chi = t.re.shape[2]
 
     idx = parity + 2 * (k_off + jnp.arange(K, dtype=jnp.int32))  # left sites
     take_s = lambda x, i: jnp.take(x, i, axis=1)
     a = cpx.tmap(lambda x: take_s(x, idx), t)  # [B, K, chi, 2, chi]
     b = cpx.tmap(lambda x: take_s(x, idx + 1), t)
+    lam_old = take_s(state.lams, idx)  # middle-bond weights (for inactive)
     # Left lambda of pair k sits on bond idx-1 (the opposite parity — never
     # written by this brick). idx==0 only occurs for the always-inactive
     # leading dummy pair; clip and let select discard it.
     lam_l = take_s(state.lams, jnp.maximum(idx - 1, 0))  # [B, K, chi]
-    lam_l = jnp.where((idx > 0)[None, :, None], lam_l, state.lams[:, :1] * 0 + 1.0)
+
+    cl, cm, cr = (chi, chi, chi) if caps is None else caps
+    if caps is not None:
+        a = cpx.tmap(lambda x: x[:, :, :cl, :, :cm], a)
+        b = cpx.tmap(lambda x: x[:, :, :cm, :, :cr], b)
+        lam_l = lam_l[:, :, :cl]
+        lam_old = lam_old[:, :, :cm]
+    lam_l = jnp.where((idx > 0)[None, :, None], lam_l, lam_l * 0 + 1.0)
 
     new_a, new_b, s, kf, rank = update_pairs(a, b, lam_l, thetas, swap_w, cfg)
 
@@ -225,11 +301,18 @@ def _brick_pairs(
     sel5 = lambda new, old: jnp.where(am[:, :, None, None, None], new, old)
     new_a = Cpx(sel5(new_a.re, a.re), sel5(new_a.im, a.im))
     new_b = Cpx(sel5(new_b.re, b.re), sel5(new_b.im, b.im))
-    lam_new = jnp.where(am[:, :, None], s, take_s(state.lams, idx))
+    lam_new = jnp.where(am[:, :, None], s, lam_old)
     rank_new = jnp.where(am, rank, take_s(state.bond_dims, idx))
     fid = state.fidelity * jnp.prod(jnp.where(am, kf, 1.0), axis=1).astype(
         state.fidelity.dtype
     )
+    if caps is not None:  # zero-pad back to the stored [chi, 2, chi]
+        pad_t = lambda x, l, r: jnp.pad(
+            x, ((0, 0), (0, 0), (0, chi - l), (0, 0), (0, chi - r))
+        )
+        new_a = cpx.tmap(lambda x: pad_t(x, cl, cm), new_a)
+        new_b = cpx.tmap(lambda x: pad_t(x, cm, cr), new_b)
+        lam_new = jnp.pad(lam_new, ((0, 0), (0, 0), (0, chi - cm)))
 
     put = lambda full, i, val: full.at[:, i].set(val)
     tensors = Cpx(
@@ -241,13 +324,17 @@ def _brick_pairs(
     return VidalState(tensors=tensors, lams=lams, fidelity=fid, bond_dims=bond_dims)
 
 
-def layer_scan(state: VidalState, parities, swaps, actives, thetas, cfg: SimConfig):
+def layer_scan(
+    state: VidalState, parities, swaps, actives, thetas, cfg: SimConfig,
+    n: int | None = None,
+):
     """Scan a chunk of layers: ``parities [C]``, ``swaps [C]`` (as floats),
-    ``actives [C, K]``, ``thetas [C, B, K]``."""
+    ``actives [C, K]``, ``thetas [C, B, K]``. ``n`` (real site count)
+    enables per-pair structural caps under ``cfg.brick_struct_caps``."""
 
     def body(st, inp):
         par, sw, act, th = inp
-        return brick_layer(st, par, sw, act, th, cfg), None
+        return brick_layer(st, par, sw, act, th, cfg, n=n), None
 
     state, _ = lax.scan(body, state, (parities, swaps, actives, thetas))
     return state

@@ -93,6 +93,78 @@ def test_brick_f32_parity_and_gram_integration():
         assert np.abs(k - kd).max() < tol, routing
 
 
+def test_structural_caps_values():
+    """Per-pair cap triples: powers of two, floored at 4, capped at chi,
+    and bounding the true per-bond Schmidt rank min(2^l, 2^r) over BOTH
+    parities (the pair's middle bond moves by one between parities)."""
+    from qml_cutensornet_tpu.ops.vidal import structural_caps
+
+    n, chi = 10, 16
+    K = (n + 2) // 2
+    caps = structural_caps(n, K, chi)
+    assert len(caps) == K
+    sb = lambda j: min(chi, 2 ** min(max(j, 0), n - max(min(j, n), 0)) if 0 <= j <= n else 1)
+    for k, (cl, cm, cr) in enumerate(caps):
+        for c in (cl, cm, cr):
+            assert 4 <= c <= chi and (c & (c - 1)) == 0
+        for par in (0, 1):
+            mid = par + 2 * k
+            assert cl >= min(chi, sb(mid - 1))
+            assert cm >= min(chi, sb(mid))
+            assert cr >= min(chi, sb(mid + 1))
+    # Edge pairs are genuinely cheaper: first pair's left/middle bonds sit
+    # under cap while the chain middle saturates chi.
+    assert caps[0][0] < chi and any(c == (chi, chi, chi) for c in caps)
+
+
+@pytest.mark.parametrize("n,reps,d", [(8, 2, 3), (10, 2, 4)])
+def test_brick_struct_caps_exact_f64(n, reps, d):
+    """Structural caps are EXACT: sliced-shape edge-pair dispatches produce
+    the same state (vs the dense golden) as the full-chi brick engine —
+    entries beyond a bond's structural Schmidt bound are exact zeros, so
+    slicing them off changes nothing."""
+    rng = np.random.default_rng(7)
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(4, n))
+    cfg = SimConfig(
+        chi=2 ** (n // 2), truncation_error=1e-16, precision="f64",
+        svd_method="subspace", subspace_iters=2, brick_struct_caps=True,
+    )
+    st = make_chunked_simulator(ansatz.schedule, cfg)(X)
+    assert float(np.asarray(st.fidelity).min()) > 1 - 1e-12
+    k = np.asarray(tile_overlaps_sq(st.tensors, st.tensors))
+    dg = np.sqrt(np.diag(k))
+    kn = k / np.outer(dg, dg)
+    kd = np.array(
+        [[dense.kernel_entry(X[i], X[j], reps, 1.0, emap) for j in range(4)] for i in range(4)]
+    )
+    assert np.abs(kn - kd).max() < 1e-9
+
+
+def test_brick_struct_caps_f32_matches_uncapped():
+    """f32 at a non-binding chi: caps-on vs caps-off normalized kernels
+    agree to f32 rounding scale — the capped path runs the same math at
+    sliced shapes, and with no truncation pressure the only divergence is
+    per-op rounding. (Under a BINDING chi cap the two variants legitimately
+    diverge at the truncation scale, like any engine-variant pair — see
+    test_routing_modes in test_mps_vs_dense.py.)"""
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+
+    rng = np.random.default_rng(3)
+    n, reps, d = 12, 2, 4
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(6, n))
+    base = dict(chi=64, truncation_error=1e-16, precision="f32",
+                svd_method="subspace", subspace_iters=1)
+    k_off = build_kernel_matrix(ansatz, X, cfg=SimConfig(**base), sim_batch=6, tile=6)
+    k_on = build_kernel_matrix(
+        ansatz, X, cfg=SimConfig(**base, brick_struct_caps=True), sim_batch=6, tile=6
+    )
+    assert np.abs(k_on - k_off).max() < 3e-6
+
+
 def test_brick_sharded_matches_single_device():
     """Brick schedules run through the sharded (shard_map + ppermute ring)
     path unchanged: the mesh-constrained brick simulator feeds the same
