@@ -180,6 +180,30 @@ def main() -> None:
     per_vdot_a100 = 0.0138
     baseline = n_points * per_circ_a100 + n_points * (n_points + 1) / 2 * per_vdot_a100
 
+    # Roofline columns: analytic FLOPs of the dispatched shapes
+    # (utils/flops.py shares the engine's own chunk plan) over the measured
+    # phase times. Tracked routing only — the brick engine dispatches
+    # different shapes and is not modeled.
+    sim_roof = tile_roof = None
+    if os.environ.get("QMLTPU_ROUTING", "tracked") == "tracked":
+        try:
+            from qml_cutensornet_tpu.utils import flops as flops_mod
+
+            staged = os.environ.get("QMLTPU_STAGED", "1") != "0"
+            fl = flops_mod.gram_flops(
+                ansatz.schedule, cfg, n_points, staged=staged
+            )
+            if sim_s:
+                sim_roof = flops_mod.roofline(fl["sim_flops"], sim_s)
+            if dot_s:
+                tile_roof = flops_mod.roofline(fl["tile_flops"], dot_s)
+            log(f"model: sim {fl['sim_flops']:.3e} FLOP, "
+                f"tiles {fl['tile_flops']:.3e} FLOP at chi={fl['final_chi']}; "
+                f"roofline sim={sim_roof} tiles={tile_roof} "
+                f"(peak = v5e f32-HIGHEST, 32.8 TFLOP/s)")
+        except Exception as e:  # model must never break the bench line
+            log(f"flops model skipped: {e!r}")
+
     prec = os.environ.get("QMLTPU_PRECISION", "f32")
     print(json.dumps({
         "metric": f"{n_points}x{n_points} train-Gram wall-clock, {nq} qubits (r{reps} d{d} g{gamma} chi{chi}, {prec}, 1 chip)",
@@ -190,6 +214,10 @@ def main() -> None:
         "avg_fidelity": avg_fidelity,
         "sim_seconds": sim_s,
         "tile_seconds": dot_s,
+        "sim_tflops": sim_roof["tflops"] if sim_roof else None,
+        "sim_peak_fraction": sim_roof["peak_fraction"] if sim_roof else None,
+        "tile_tflops": tile_roof["tflops"] if tile_roof else None,
+        "tile_peak_fraction": tile_roof["peak_fraction"] if tile_roof else None,
     }))
 
 

@@ -199,6 +199,86 @@ def make_chunked_simulator(
     return _make_chunked_stream_simulator(schedule, cfg, chunk_len, mesh)
 
 
+def stream_chunk_plan(schedule: GateSchedule, cfg: SimConfig, chunk_len: int, staged: bool):
+    """Lower a tracked-routing schedule to padded chunk arrays plus the
+    staged-chi execution plan. Shared by the chunked stream simulator and
+    the analytic FLOP model (utils/flops.py), so the model counts exactly
+    the shapes the engine dispatches.
+
+    Returns ``(segs, chunk_chis, final_chi)``:
+
+    - ``segs``: per segment, ``(pos_to_feature, sites, gkinds, dirs, fa,
+      fb, n_chunks)`` with the op arrays padded to a multiple of
+      ``chunk_len`` by neutral ops (identity center-move at the
+      segment-final center — exact no-ops for the state, but real
+      dispatched work).
+    - ``chunk_chis``: per segment, the stage chi of each chunk. Staged chi
+      uses structural bond-dimension upper bounds: a two-site update across
+      bond s can at most double it, bounded by the position-cut dimension
+      min(2^(s+1), 2^(n-s-1)) and the cap. Bounds are monotone along the
+      stream, so running each chunk at the smallest power-of-two chi that
+      holds its end-of-chunk bound is EXACTLY equivalent to running
+      everything at cfg.chi (no truncation can occur below the structural
+      bound), while the early ramp-up — and the whole program, for
+      low-entanglement schedules — runs at much smaller shapes.
+    - ``final_chi``: the working chi after the last chunk.
+    """
+    n = schedule.num_qubits
+
+    segs = []
+    for seg in schedule.segments:
+        g = len(seg.sites)
+        n_chunks = max(1, -(-g // chunk_len)) if g else 0
+        pad = n_chunks * chunk_len - g
+        if g:
+            # Neutral padding op: identity at the segment-final center.
+            last_site = int(seg.sites[-1])
+            last_dir = int(seg.dirs[-1])
+            neutral_site = last_site  # center is at last_site (+1 if DIR_R)
+            neutral_dir = last_dir
+            sites = np.concatenate([seg.sites, np.full(pad, neutral_site, np.int32)])
+            gk = np.concatenate([seg.gkinds, np.full(pad, GATE_I, np.int32)])
+            dirs = np.concatenate([seg.dirs, np.full(pad, neutral_dir, np.int32)])
+            fa = np.concatenate([seg.fa, np.zeros(pad, np.int32)])
+            fb = np.concatenate([seg.fb, np.zeros(pad, np.int32)])
+        else:
+            sites = gk = dirs = fa = fb = np.zeros((0,), np.int32)
+        segs.append((seg.pos_to_feature, sites, gk, dirs, fa, fb, n_chunks))
+
+    chunk_chis: list[list[int]] = []
+    if staged:
+        floor_chi = min(8, cfg.chi)
+        bd = np.ones(max(n - 1, 1), dtype=np.float64)
+        cut = np.array(
+            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
+        )
+        for (_, sites, gk, _, _, _, n_chunks) in segs:
+            stages = []
+            for c in range(n_chunks):
+                for i in range(c * chunk_len, (c + 1) * chunk_len):
+                    if gk[i] == GATE_I:
+                        continue
+                    s = int(sites[i])
+                    lb = bd[s - 1] if s > 0 else 1.0
+                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
+                    bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
+                bound = int(bd.max())
+                stage = floor_chi
+                while stage < bound:
+                    stage *= 2
+                stages.append(min(stage, cfg.chi))
+            chunk_chis.append(stages)
+    else:
+        chunk_chis = [[cfg.chi] * nc for (_, _, _, _, _, _, nc) in segs]
+    final_chi = cfg.chi
+    for stages in chunk_chis:
+        for s in stages:
+            final_chi = s  # last assigned stage is the final working chi
+    if not any(len(st) for st in chunk_chis):
+        final_chi = min(8, cfg.chi) if staged else cfg.chi
+    return segs, chunk_chis, final_chi
+
+
 def _make_chunked_stream_simulator(
     schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
 ):
@@ -246,66 +326,7 @@ def _make_chunked_stream_simulator(
     rdt = cfg.real_dtype
     gamma = schedule.gamma
 
-    # --- Pre-lower each segment to padded chunk arrays + angle specs. ---
-    segs = []
-    for seg in schedule.segments:
-        g = len(seg.sites)
-        n_chunks = max(1, -(-g // chunk_len)) if g else 0
-        pad = n_chunks * chunk_len - g
-        if g:
-            # Neutral padding op: identity at the segment-final center.
-            last_site = int(seg.sites[-1])
-            last_dir = int(seg.dirs[-1])
-            neutral_site = last_site  # center is at last_site (+1 if DIR_R)
-            neutral_dir = last_dir
-            sites = np.concatenate([seg.sites, np.full(pad, neutral_site, np.int32)])
-            gk = np.concatenate([seg.gkinds, np.full(pad, GATE_I, np.int32)])
-            dirs = np.concatenate([seg.dirs, np.full(pad, neutral_dir, np.int32)])
-            fa = np.concatenate([seg.fa, np.zeros(pad, np.int32)])
-            fb = np.concatenate([seg.fb, np.zeros(pad, np.int32)])
-        else:
-            sites = gk = dirs = fa = fb = np.zeros((0,), np.int32)
-        segs.append((seg.pos_to_feature, sites, gk, dirs, fa, fb, n_chunks))
-
-    # --- Staged chi: structural bond-dimension upper bounds per chunk. ---
-    # A two-site update across bond s can at most double it, bounded by the
-    # position-cut dimension min(2^(s+1), 2^(n-s-1)) and the cap. Bounds are
-    # monotone along the stream, so running each chunk at the smallest
-    # power-of-two chi that holds its end-of-chunk bound is EXACTLY
-    # equivalent to running everything at cfg.chi (no truncation can occur
-    # below the structural bound), while the early ramp-up — and the whole
-    # program, for low-entanglement schedules — runs at much smaller shapes.
-    chunk_chis: list[list[int]] = []
-    if staged:
-        floor_chi = min(8, cfg.chi)
-        bd = np.ones(max(n - 1, 1), dtype=np.float64)
-        cut = np.array(
-            [min(2.0 ** (k + 1), 2.0 ** (n - k - 1)) for k in range(max(n - 1, 1))]
-        )
-        for (_, sites, gk, _, _, _, n_chunks) in segs:
-            stages = []
-            for c in range(n_chunks):
-                for i in range(c * chunk_len, (c + 1) * chunk_len):
-                    if gk[i] == GATE_I:
-                        continue
-                    s = int(sites[i])
-                    lb = bd[s - 1] if s > 0 else 1.0
-                    rb = bd[s + 1] if s + 1 <= n - 2 else 1.0
-                    bd[s] = min(2 * lb, 2 * rb, cut[s], float(cfg.chi))
-                bound = int(bd.max())
-                stage = floor_chi
-                while stage < bound:
-                    stage *= 2
-                stages.append(min(stage, cfg.chi))
-            chunk_chis.append(stages)
-    else:
-        chunk_chis = [[cfg.chi] * nc for (_, _, _, _, _, _, nc) in segs]
-    final_chi = cfg.chi
-    for stages in chunk_chis:
-        for s in stages:
-            final_chi = s  # last assigned stage is the final working chi
-    if not any(len(st) for st in chunk_chis):
-        final_chi = min(8, cfg.chi) if staged else cfg.chi
+    segs, chunk_chis, final_chi = stream_chunk_plan(schedule, cfg, chunk_len, staged)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -1,0 +1,173 @@
+"""Analytic FLOP accounting for the dispatched compute path.
+
+Counts real-arithmetic FLOPs for EXACTLY the shapes the chunked stream
+simulator dispatches — via :func:`models.simulate.stream_chunk_plan`, the
+same lowering the engine itself runs — plus the Gram transfer-matrix tile
+contraction. ``bench.py`` uses this to report achieved TFLOP/s and a
+fraction-of-peak roofline next to the wall-clock headline, and the
+speed-of-light section in docs/DESIGN.md is derived from these formulas.
+
+Reference anchor: the reference reports wall-clock only (its profiling
+dicts, gpu_backend/kernel_state_ansatz.py:239-276, carry no FLOP model);
+this module is the TPU-side accounting needed to argue "percent of
+speed-of-light" rather than just "faster than the A100 run".
+
+Conventions
+-----------
+- All device arithmetic is (re, im) pairs (ops/cpx.py). A complex
+  [m,k] @ [k,n] matmul lowers to 4 real matmuls => ``8*m*k*n`` real FLOPs
+  (mult+add counted separately, the usual roofline convention).
+- Orthonormalization is costed as the production BCGS2/MGS2 path
+  (ops/pallas_qr.py / ops/blocked_qr.py): two reorthogonalization passes,
+  each one projection + one update pass over the block columns,
+  ~``2 * (8 m n^2 + 8 m n^2) / 2 = 16 m n^2`` real FLOPs for a complex
+  [m, n] block. (The XLA Householder fallback on the interleaved [2m, 2n]
+  real embedding costs ~4x that — one more reason it lost the A/B.)
+- O(chi^2) terms (gate application, diagonal layers, masking) are counted
+  where they are real dispatched work but are negligible next to the
+  chi^3 terms; host-side work and compile time are NOT counted.
+
+The model covers the TRACKED chunked-stream engine (the bench/CLI default
+routing). The brick engine dispatches different shapes (layer-batched
+[B*K, 2c, 2c] updates with structural caps) and is not modeled here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qml_cutensornet_tpu.config import SimConfig
+from qml_cutensornet_tpu.models.ansatz import GATE_I, GATE_RX, GateSchedule
+
+# Peak numbers used for the fraction-of-peak column. TPU v5e (one chip):
+# 197 TFLOP/s bf16 MXU; f32 inputs at HIGHEST matmul precision run as a
+# 6-pass bf16 decomposition on the MXU => ~1/6 of bf16 peak. HBM ~819 GB/s.
+PEAKS = {
+    "v5e": {
+        "bf16_flops": 197e12,
+        "f32_highest_flops": 197e12 / 6.0,
+        "hbm_bytes_per_s": 819e9,
+    }
+}
+
+
+def cmatmul_flops(m: int, k: int, n: int) -> int:
+    """Real FLOPs of a complex [m,k]@[k,n] product through (re,im) pairs."""
+    return 8 * m * k * n
+
+
+def orth_flops(m: int, n: int) -> int:
+    """Real FLOPs of orthonormalizing a complex [m, n] block (BCGS2, 2 passes)."""
+    return 16 * m * n * n
+
+
+def center_move_flops(chi: int) -> int:
+    """One canonical-center move at working chi (ops/mps.py:move_center):
+    fused QR of the [2chi, chi] site panel (orth + r = q^H v) plus folding
+    r into the neighbor ([chi,chi] x [chi, 2chi]). Padding GATE_I ops in
+    the chunk stream dispatch exactly this work."""
+    return (
+        orth_flops(2 * chi, chi)
+        + cmatmul_flops(2 * chi, chi, chi)  # r = q^H v
+        + cmatmul_flops(chi, chi, 2 * chi)  # r @ b (or a @ l)
+    )
+
+
+def two_site_flops(chi: int, subspace_iters: int) -> int:
+    """One truncating two-site update at working chi (ops/mps.py:apply_2site
+    + ops/svd.py:_split_subspace), theta [2chi, 2chi], keep = chi."""
+    m = 2 * chi
+    k = 2 * chi
+    keep = chi
+    f = cmatmul_flops(2 * chi, chi, 2 * chi)  # theta build (asb,btc->astc)
+    f += 8 * 4 * (4 * chi * chi)  # 4x4 gate contraction (stuv,auvc->astc)
+    if subspace_iters <= 1:
+        f += cmatmul_flops(k, m, keep)  # w = theta^H v
+        f += orth_flops(k, keep)
+        f += cmatmul_flops(m, k, keep)  # v = theta w
+        f += orth_flops(m, keep)
+        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+    else:
+        f += cmatmul_flops(m, k, m)  # h = theta theta^H
+        for _ in range(subspace_iters):
+            f += cmatmul_flops(m, m, keep)  # v = h v
+            f += orth_flops(m, keep)
+        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+    return f
+
+
+def single_site_flops(chi: int) -> int:
+    """One 1q gate (apply_1q: [2,2] x [chi,2,chi])."""
+    return cmatmul_flops(2, 2, chi * chi)
+
+
+def sim_flops_per_circuit(
+    schedule: GateSchedule, cfg: SimConfig, chunk_len: int = 128, staged: bool = True
+) -> int:
+    """Real FLOPs the chunked stream engine dispatches per circuit —
+    including chunk-padding center moves and the staged-chi plan, i.e. the
+    shapes actually compiled, not the idealized gate list."""
+    from qml_cutensornet_tpu.models.simulate import stream_chunk_plan
+
+    segs, chunk_chis, _ = stream_chunk_plan(schedule, cfg, chunk_len, staged)
+    n = schedule.num_qubits
+    total = 0
+    for (_, sites, gk, _, _, _, n_chunks), stages in zip(segs, chunk_chis):
+        # Rz feature layer before each segment: n diagonal scalings, O(chi^2).
+        first_chi = stages[0] if stages else cfg.chi
+        total += n * 6 * 2 * first_chi * first_chi
+        for c in range(n_chunks):
+            chi = stages[c]
+            for i in range(c * chunk_len, (c + 1) * chunk_len):
+                kind = int(gk[i])
+                if kind == GATE_I:
+                    total += center_move_flops(chi)
+                elif kind >= GATE_RX:
+                    total += single_site_flops(chi)
+                else:
+                    total += two_site_flops(chi, cfg.subspace_iters)
+    return total
+
+
+def tile_flops(n_pairs: int, nq: int, chi: int) -> int:
+    """Transfer-matrix overlap contraction (ops/mps.py:vdot / the batched
+    tile scan in models/gram.py): per pair per site, m @ b then a^H (mb) —
+    two [chi, chi(x2)] complex matmul groups = 32 chi^3."""
+    return n_pairs * nq * 2 * cmatmul_flops(chi, chi, 2 * chi)
+
+
+def gram_flops(
+    schedule: GateSchedule,
+    cfg: SimConfig,
+    n_points: int,
+    chunk_len: int = 128,
+    staged: bool = True,
+) -> dict:
+    """FLOP breakdown for one symmetric train-Gram build: every circuit
+    simulated once, N(N+1)/2 overlap pairs (the mirror-skip tile schedule
+    computes exactly the upper triangle + diagonal). Returns real-FLOP
+    counts keyed by phase, plus the final working chi the tiles run at."""
+    from qml_cutensornet_tpu.models.simulate import stream_chunk_plan
+
+    _, _, final_chi = stream_chunk_plan(schedule, cfg, chunk_len, staged)
+    per_circ = sim_flops_per_circuit(schedule, cfg, chunk_len, staged)
+    n_pairs = n_points * (n_points + 1) // 2
+    return {
+        "sim_flops": n_points * per_circ,
+        "sim_flops_per_circuit": per_circ,
+        "tile_flops": tile_flops(n_pairs, schedule.num_qubits, final_chi),
+        "final_chi": final_chi,
+        "n_pairs": n_pairs,
+    }
+
+
+def roofline(flops: int, seconds: float, platform: str = "v5e", peak_key: str = "f32_highest_flops") -> dict:
+    """Achieved TFLOP/s and fraction of the platform peak for one phase."""
+    if not seconds or seconds <= 0:
+        return {"tflops": None, "peak_fraction": None}
+    achieved = flops / seconds
+    peak = PEAKS.get(platform, {}).get(peak_key)
+    return {
+        "tflops": round(achieved / 1e12, 3),
+        "peak_fraction": round(achieved / peak, 4) if peak else None,
+    }
