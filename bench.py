@@ -122,8 +122,14 @@ def main() -> None:
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
-    log(f"schedule: {ansatz.schedule.num_two_site_ops} two-site ops "
-        f"({ansatz.schedule.num_gate_ops} gates), chi={chi}")
+    sched = ansatz.schedule
+    if hasattr(sched, "bricks"):
+        n_layers = sum(len(r.parities) for r in sched.bricks)
+        log(f"schedule: brick, {n_layers} layers x {sched.pairs_per_layer} "
+            f"pairs, chi={chi}")
+    else:
+        log(f"schedule: {sched.num_two_site_ops} two-site ops "
+            f"({sched.num_gate_ops} gates), chi={chi}")
 
     kwargs = dict(truncation_error=1e-16, cfg=cfg, sim_batch=sim_batch, tile=tile)
     mesh_env = os.environ.get("QMLTPU_MESH")
@@ -181,11 +187,10 @@ def main() -> None:
     baseline = n_points * per_circ_a100 + n_points * (n_points + 1) / 2 * per_vdot_a100
 
     # Roofline columns: analytic FLOPs of the dispatched shapes
-    # (utils/flops.py shares the engine's own chunk plan) over the measured
-    # phase times. Tracked routing only — the brick engine dispatches
-    # different shapes and is not modeled.
+    # (utils/flops.py shares the engine's own stage/chunk plans) over the
+    # measured phase times. Covers tracked AND brick routing.
     sim_roof = tile_roof = None
-    if os.environ.get("QMLTPU_ROUTING", "tracked") == "tracked":
+    if os.environ.get("QMLTPU_ROUTING", "tracked") in ("tracked", "brick"):
         try:
             from qml_cutensornet_tpu.utils import flops as flops_mod
 

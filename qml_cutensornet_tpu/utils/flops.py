@@ -27,9 +27,12 @@ Conventions
   where they are real dispatched work but are negligible next to the
   chi^3 terms; host-side work and compile time are NOT counted.
 
-The model covers the TRACKED chunked-stream engine (the bench/CLI default
-routing). The brick engine dispatches different shapes (layer-batched
-[B*K, 2c, 2c] updates with structural caps) and is not modeled here.
+Both engines are covered: the TRACKED chunked-stream engine (the
+bench/CLI default routing) via :func:`sim_flops_per_circuit`, and the
+BRICK engine (layer-batched Hastings updates, ops/vidal.py) via
+:func:`brick_sim_flops_per_circuit` — including padded inactive layers
+and pairs (the select keeps them exact no-ops for the STATE, but the
+factorization work is dispatched) and the structural-cap sliced shapes.
 """
 
 from __future__ import annotations
@@ -129,6 +132,70 @@ def sim_flops_per_circuit(
     return total
 
 
+def brick_pair_flops(cl: int, cm: int, cr: int, subspace_iters: int) -> int:
+    """One Hastings pair update at structural caps (cl, cm, cr)
+    (ops/vidal.py:update_pairs): theta build + gate, lambda weighting,
+    right-sided subspace split of [2cl, 2cr] keeping cm (runs on the
+    transpose: m=2cr, k=2cl), and the unweighted-theta recontraction
+    new_a = theta~ V^H."""
+    f = 32 * cl * cm * cr  # theta0 = a x b
+    f += 128 * cl * cr  # 4x4 gate contraction
+    m, k, keep = 2 * cr, 2 * cl, cm
+    if subspace_iters <= 1:
+        f += cmatmul_flops(k, m, keep)  # theta^H v
+        f += orth_flops(k, keep)
+        f += cmatmul_flops(m, k, keep)  # theta w
+        f += orth_flops(m, keep)
+        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+    else:
+        f += cmatmul_flops(m, k, m)  # h = theta theta^H
+        for _ in range(subspace_iters):
+            f += cmatmul_flops(m, m, keep)
+            f += orth_flops(m, keep)
+        f += cmatmul_flops(keep, m, k)
+    f += cmatmul_flops(2 * cl, 2 * cr, cm)  # new_a = theta~ V^H
+    return f
+
+
+def brick_sim_flops_per_circuit(
+    schedule, cfg: SimConfig, layer_chunk: int = 16, staged: bool = True
+) -> int:
+    """Real FLOPs the brick engine dispatches per circuit. Every layer of
+    every chunk — including the inactive padding layers and inactive pairs
+    (ops/vidal.py:brick_layer computes, then selects) — dispatches the
+    full per-pair factorization at its stage chi (sliced to the structural
+    caps when cfg.brick_struct_caps). This is exactly why the brick engine
+    trades more FLOPs for fewer, larger dispatches."""
+    from qml_cutensornet_tpu.models.simulate import brick_chunk_plan, brick_stage_plan
+    from qml_cutensornet_tpu.ops.vidal import structural_caps
+
+    n = schedule.num_qubits
+    K = schedule.pairs_per_layer
+    rep_stages, _ = brick_stage_plan(schedule, cfg, staged)
+    chunks2, _ = brick_chunk_plan(schedule, rep_stages, layer_chunk, K)
+    total = 0
+    cap_cache: dict = {}
+    for (_, _, _, stage) in chunks2:
+        if cfg.brick_struct_caps:
+            if stage not in cap_cache:
+                cap_cache[stage] = structural_caps(n, K, stage)
+            per_layer = sum(
+                brick_pair_flops(cl, cm, cr, cfg.subspace_iters)
+                for (cl, cm, cr) in cap_cache[stage]
+            )
+        else:
+            per_layer = K * brick_pair_flops(
+                stage, stage, stage, cfg.subspace_iters
+            )
+        total += layer_chunk * per_layer
+    # Rz feature layers (one per rep) and 1q gates: O(chi^2), negligible
+    # but real — count one diagonal pass per rep at the rep's first stage.
+    for stages in rep_stages:
+        first = stages[0] if stages else cfg.chi
+        total += n * 6 * 2 * first * first
+    return total
+
+
 def tile_flops(n_pairs: int, nq: int, chi: int) -> int:
     """Transfer-matrix overlap contraction (ops/mps.py:vdot / the batched
     tile scan in models/gram.py): per pair per site, m @ b then a^H (mb) —
@@ -146,11 +213,19 @@ def gram_flops(
     """FLOP breakdown for one symmetric train-Gram build: every circuit
     simulated once, N(N+1)/2 overlap pairs (the mirror-skip tile schedule
     computes exactly the upper triangle + diagonal). Returns real-FLOP
-    counts keyed by phase, plus the final working chi the tiles run at."""
-    from qml_cutensornet_tpu.models.simulate import stream_chunk_plan
+    counts keyed by phase, plus the final working chi the tiles run at.
+    Dispatches on the schedule type (BrickSchedule has ``bricks``)."""
+    from qml_cutensornet_tpu.models.simulate import (
+        brick_stage_plan,
+        stream_chunk_plan,
+    )
 
-    _, _, final_chi = stream_chunk_plan(schedule, cfg, chunk_len, staged)
-    per_circ = sim_flops_per_circuit(schedule, cfg, chunk_len, staged)
+    if hasattr(schedule, "bricks"):
+        _, final_chi = brick_stage_plan(schedule, cfg, staged)
+        per_circ = brick_sim_flops_per_circuit(schedule, cfg, staged=staged)
+    else:
+        _, _, final_chi = stream_chunk_plan(schedule, cfg, chunk_len, staged)
+        per_circ = sim_flops_per_circuit(schedule, cfg, chunk_len, staged)
     n_pairs = n_points * (n_points + 1) // 2
     return {
         "sim_flops": n_points * per_circ,

@@ -82,3 +82,50 @@ def test_iters2_costs_more_than_iters1():
     a = flops.two_site_flops(64, 1)
     b = flops.two_site_flops(64, 2)
     assert b > a > 0
+
+
+def test_brick_model_counts_padded_layers():
+    """Brick model: chunks dispatch layer_chunk layers at the chunk stage;
+    caps strictly reduce the count; iters=2 > iters=1."""
+    ans = KernelStateAnsatz(
+        12, 2, 1.0, entanglement_graph(12, 4), routing="brick"
+    )
+    cfg1 = SimConfig(chi=16, svd_method="subspace", subspace_iters=1)
+    cfg2 = SimConfig(chi=16, svd_method="subspace", subspace_iters=2)
+    cfgc = SimConfig(
+        chi=16, svd_method="subspace", subspace_iters=1, brick_struct_caps=True
+    )
+    f1 = flops.brick_sim_flops_per_circuit(ans.schedule, cfg1)
+    f2 = flops.brick_sim_flops_per_circuit(ans.schedule, cfg2)
+    fc = flops.brick_sim_flops_per_circuit(ans.schedule, cfgc)
+    assert f2 > f1 > 0
+    assert fc < f1  # structural caps slice edge pairs below chi
+
+    # Hand-count one plain (uncapped) plan.
+    from qml_cutensornet_tpu.models.simulate import (
+        brick_chunk_plan,
+        brick_stage_plan,
+    )
+
+    rep_stages, _ = brick_stage_plan(ans.schedule, cfg1, True)
+    chunks2, _ = brick_chunk_plan(ans.schedule, rep_stages, 16, ans.schedule.pairs_per_layer)
+    expect = sum(
+        16 * ans.schedule.pairs_per_layer * flops.brick_pair_flops(s, s, s, 1)
+        for (_, _, _, s) in chunks2
+    )
+    expect += sum(
+        12 * 6 * 2 * (st[0] if st else cfg1.chi) ** 2 for st in rep_stages
+    )
+    assert f1 == expect
+
+
+def test_gram_flops_dispatches_on_schedule_type():
+    brick = KernelStateAnsatz(
+        12, 2, 1.0, entanglement_graph(12, 4), routing="brick"
+    )
+    cfg = SimConfig(chi=16, svd_method="subspace", subspace_iters=1)
+    out = flops.gram_flops(brick.schedule, cfg, n_points=4)
+    assert out["sim_flops_per_circuit"] == flops.brick_sim_flops_per_circuit(
+        brick.schedule, cfg
+    )
+    assert out["n_pairs"] == 10
