@@ -196,6 +196,46 @@ def brick_sim_flops_per_circuit(
     return total
 
 
+def two_site_hbm_bytes(chi: int, subspace_iters: int, dtype_bytes: int = 4) -> dict:
+    """HBM traffic of one two-site update at working chi, two models:
+
+    - ``floor``: only the state slices move (read 2 site tensors, write 2
+      back) — the lower bound any execution must pay:
+      ``4 * (chi * 2 * chi) * 2(re,im) * dtype_bytes``.
+    - ``xla``: every einsum/orthonormalization in the chain materializes
+      its result to HBM (theta build, gate apply, w, v, q, r, the two
+      reshaped factors) — the un-fused upper model. XLA fuses some
+      elementwise consumers, so reality sits between the two; the fused
+      Pallas split (ops/pallas_split.py) exists precisely to collapse
+      ``xla`` toward ``floor``.
+
+    Returns bytes per op per batch element.
+    """
+    site = chi * 2 * chi * 2 * dtype_bytes
+    theta = 4 * chi * chi * 2 * dtype_bytes
+    skinny = 2 * chi * chi * 2 * dtype_bytes  # [2chi, chi] blocks
+    floor = 4 * site
+    # theta0 w, theta(gate) r+w, w r+w, v r+w, q r+w, r r+w, 2 factor writes
+    n_theta_trips = 3 if subspace_iters <= 1 else 3 + subspace_iters
+    xla = floor + n_theta_trips * 2 * theta + 4 * 2 * skinny
+    return {"floor": floor, "xla": xla}
+
+
+def phase_time_floors(
+    flops_count: int, bytes_count: int, platform: str = "v5e"
+) -> dict:
+    """Compute- and bandwidth-bound time floors (seconds) for one phase —
+    the larger one is the roofline bound; measured time far above BOTH
+    means the phase is dispatch/latency-bound (serial dependent steps too
+    small to fill the MXU pipeline), which is the actionable diagnosis at
+    small chi."""
+    p = PEAKS[platform]
+    return {
+        "compute_s": flops_count / p["f32_highest_flops"],
+        "hbm_s": bytes_count / p["hbm_bytes_per_s"],
+    }
+
+
 def tile_flops(n_pairs: int, nq: int, chi: int) -> int:
     """Transfer-matrix overlap contraction (ops/mps.py:vdot / the batched
     tile scan in models/gram.py): per pair per site, m @ b then a^H (mb) —

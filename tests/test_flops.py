@@ -129,3 +129,16 @@ def test_gram_flops_dispatches_on_schedule_type():
         brick.schedule, cfg
     )
     assert out["n_pairs"] == 10
+
+
+def test_hbm_bytes_and_floors():
+    b = flops.two_site_hbm_bytes(64, 1)
+    assert b["xla"] > b["floor"] > 0
+    # floor = 4 site tensors of [chi, 2, chi] f32 (re, im) pairs
+    assert b["floor"] == 4 * 64 * 2 * 64 * 2 * 4
+    t = flops.phase_time_floors(flops.two_site_flops(64, 1), b["xla"])
+    assert t["compute_s"] > 0 and t["hbm_s"] > 0
+    # chi=512 iters=2 is compute-bound: compute floor >> HBM floor
+    b2 = flops.two_site_hbm_bytes(512, 2)
+    t2 = flops.phase_time_floors(flops.two_site_flops(512, 2), b2["xla"])
+    assert t2["compute_s"] > 4 * t2["hbm_s"]
