@@ -519,6 +519,68 @@ def brick_chunk_plan(schedule, rep_stages, layer_chunk: int, pairs: int):
     return chunks2, chunk_arrays
 
 
+def drive_brick_schedule(
+    x,
+    schedule,
+    chunks2,
+    chunk_arrays,
+    layer_chunk: int,
+    rdt,
+    fns_for,
+    *,
+    init_arg,
+    rz_arg,
+    place_pars,
+    place_acts,
+    place_thetas,
+    k_pad: int,
+    final_chi: int,
+):
+    """The ONE host driver both brick engines run: rep-theta precompute,
+    per-rep Rz dispatch, staged-chi upgrades, chunk dispatch, finalize.
+
+    The whole-chain engine (make_brick_simulator) and the site-sharded one
+    (parallel/sharded_mps.py) differ only in array placement and in the
+    site frame their Rz layer addresses — both are injected here as
+    callables, so the stage/chunk sequencing that keeps the two paths
+    numerically identical lives in exactly one place. ``fns_for(chi)``
+    returns the per-stage (init, rz, chunk, pad_to, finalize) closures;
+    ``k_pad`` pads the per-layer pair axis (the sharded engine rounds it
+    up to a device multiple)."""
+    gamma = schedule.gamma
+    x = np.asarray(x, dtype=np.float64)
+    first_chi = chunks2[0][3] if chunks2 else final_chi
+    cur_chi = first_chi
+    state = fns_for(cur_chi)[0](init_arg(x))
+    rep_thetas = []
+    for rep in schedule.bricks:
+        th = 0.5 * np.pi * gamma * gamma * (1.0 - x[:, rep.fa]) * (1.0 - x[:, rep.fb])
+        th = np.where(rep.fire[None], th, 0.0)
+        if k_pad > schedule.pairs_per_layer:
+            th = np.pad(th, ((0, 0), (0, 0), (0, k_pad - schedule.pairs_per_layer)))
+        rep_thetas.append(th.astype(np.dtype(rdt)))
+    done_rz = -1
+    for (ri, i, j, stage), (pars, sws, acts) in zip(chunks2, chunk_arrays):
+        if ri > done_rz:
+            state = fns_for(cur_chi)[1](state, rz_arg(ri, x))
+            done_rz = ri
+        if stage > cur_chi:
+            cur_chi = stage
+            state = fns_for(cur_chi)[3](state)
+        # thetas [C, B, K] (scan axis leading), padded layers get zeros.
+        th = rep_thetas[ri][:, i:j]
+        pad = layer_chunk - (j - i)
+        th = np.pad(th, ((0, 0), (0, pad), (0, 0))).transpose(1, 0, 2)
+        state = fns_for(cur_chi)[2](
+            state,
+            place_pars(pars),
+            place_pars(sws),
+            place_acts(acts),
+            place_thetas(np.ascontiguousarray(th)),
+        )
+    return fns_for(cur_chi)[4](state)
+
+
 def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=None):
     """Brick-parallel batched simulator: ``features [B, n] -> MPS`` via the
     Vidal/Hastings engine (ops/vidal.py) over a :class:`BrickSchedule`.
@@ -630,39 +692,18 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
     chunks2, chunk_arrays = brick_chunk_plan(schedule, rep_stages, layer_chunk, K)
 
     def simulate(features) -> MPS:
-        x = np.asarray(features, dtype=np.float64)
-        first_chi = chunks2[0][3] if chunks2 else final_chi
-        cur_chi = first_chi
-        state = fns_for(cur_chi)[0](put_rows(x.astype(np.dtype(rdt))))
-        rep_thetas = []
-        for rep in schedule.bricks:
-            th = 0.5 * np.pi * gamma * gamma * (1.0 - x[:, rep.fa]) * (1.0 - x[:, rep.fb])
-            rep_thetas.append(np.where(rep.fire[None], th, 0.0).astype(np.dtype(rdt)))
-        done_rz = -1
-        for (ri, i, j, stage), (pars, sws, acts) in zip(chunks2, chunk_arrays):
-            if ri > done_rz:
-                state = fns_for(cur_chi)[1](
-                    state,
-                    put_rows(
-                        x[:, schedule.bricks[ri].pos_to_feature].astype(np.dtype(rdt))
-                    ),
-                )
-                done_rz = ri
-            if stage > cur_chi:
-                cur_chi = stage
-                state = fns_for(cur_chi)[3](state)
-            # thetas [C, B, K] (scan axis leading), padded layers get zeros.
-            th = rep_thetas[ri][:, i:j]  # [B, c, K]
-            pad = layer_chunk - (j - i)
-            th = np.pad(th, ((0, 0), (0, pad), (0, 0))).transpose(1, 0, 2)
-            state = fns_for(cur_chi)[2](
-                state,
-                put_repl(pars),
-                put_repl(sws),
-                put_repl(acts),
-                put_theta(np.ascontiguousarray(th)),
-            )
-        return fns_for(cur_chi)[4](state)
+        return drive_brick_schedule(
+            features, schedule, chunks2, chunk_arrays, layer_chunk, rdt, fns_for,
+            init_arg=lambda x: put_rows(x.astype(np.dtype(rdt))),
+            rz_arg=lambda ri, x: put_rows(
+                x[:, schedule.bricks[ri].pos_to_feature].astype(np.dtype(rdt))
+            ),
+            place_pars=put_repl,
+            place_acts=put_repl,
+            place_thetas=put_theta,
+            k_pad=K,
+            final_chi=final_chi,
+        )
 
     simulate.final_chi = final_chi
     cache[cache_key] = simulate

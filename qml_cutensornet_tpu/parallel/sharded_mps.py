@@ -212,7 +212,6 @@ def make_sharded_brick_simulator(
     chunks2, chunk_arrays = brick_chunk_plan(schedule, rep_stages, layer_chunk, K_s)
 
     sh_sites = NamedSharding(mesh, P(bp, axis))
-    sh_fid = NamedSharding(mesh, P(axis, bp))
     sh_repl = NamedSharding(mesh, P())
     state_specs = ShardedVidalState(
         tensors=Cpx(P(bp, axis), P(bp, axis)),
@@ -252,9 +251,14 @@ def make_sharded_brick_simulator(
                 )
             return st
 
-        def rz_batch(state, angles_s):
-            # angles_s [B, n_s]: 0 on dummy sites -> identity phases.
-            ph = gates.rz_phases(angles_s, rdt)  # [B, n_s, 2]
+        def rz_batch(state, xs_s):
+            # xs_s [B, n_s]: feature values at padded sites, 0 on dummies
+            # (gamma * 0 -> identity phases). gamma multiplies the ALREADY
+            # rdt-cast features INSIDE the program, matching the whole-chain
+            # engines bit-for-bit (models/simulate.py rz_batch computes
+            # gamma * xs_at_pos the same way; a host-side f64 product
+            # rounded once differs by ~1 ulp on about half the inputs).
+            ph = gates.rz_phases(gamma * xs_s, rdt)  # [B, n_s, 2]
             ph5 = cpx.tmap(lambda p: p[:, :, None, :, None], ph)
             return state._replace(tensors=cpx.mul(ph5, state.tensors))
 
@@ -370,53 +374,137 @@ def make_sharded_brick_simulator(
         return fns[chi_s]
 
     put_site = lambda a: jax.device_put(a, sh_sites)
-    put_fidx = lambda a: jax.device_put(a, sh_fid)
     put_repl = lambda a: jax.device_put(a, sh_repl)
     put_acts = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, axis)))
     put_ths = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, None, axis)))
 
+    def _rz_arg(ri, x):
+        # The Rz layer addresses the padded n_s site frame: feature values
+        # at real sites 1..n, zeros on dummies (identity phases).
+        xs_s = np.zeros((x.shape[0], n_s), dtype=np.dtype(rdt))
+        xs_s[:, 1 : n + 1] = x[:, schedule.bricks[ri].pos_to_feature].astype(
+            np.dtype(rdt)
+        )
+        return put_site(xs_s)
+
     def simulate(features) -> MPS:
-        x = np.asarray(features, dtype=np.float64)
-        B = x.shape[0]
-        first_chi = chunks2[0][3] if chunks2 else final_chi
-        cur_chi = first_chi
-        state = fns_for(cur_chi)[0](put_repl(x.astype(np.dtype(rdt))))
-        rep_thetas = []
-        for rep in schedule.bricks:
-            th = 0.5 * np.pi * gamma * gamma * (1.0 - x[:, rep.fa]) * (1.0 - x[:, rep.fb])
-            th = np.where(rep.fire[None], th, 0.0)
-            if K_s > schedule.pairs_per_layer:
-                th = np.pad(th, ((0, 0), (0, 0), (0, K_s - schedule.pairs_per_layer)))
-            rep_thetas.append(th.astype(np.dtype(rdt)))
-        done_rz = -1
-        for (ri, i, j, stage), (pars, sws, acts) in zip(chunks2, chunk_arrays):
-            if ri > done_rz:
-                ang = np.zeros((B, n_s), dtype=np.dtype(rdt))
-                ang[:, 1 : n + 1] = gamma * x[:, schedule.bricks[ri].pos_to_feature]
-                state = fns_for(cur_chi)[1](state, put_site(ang))
-                done_rz = ri
-            if stage > cur_chi:
-                cur_chi = stage
-                state = fns_for(cur_chi)[3](state)
-            th = rep_thetas[ri][:, i:j]  # [B, c, K_s]
-            pad = layer_chunk - (j - i)
-            th = np.pad(th, ((0, 0), (0, pad), (0, 0))).transpose(1, 0, 2)
-            state = fns_for(cur_chi)[2](
-                state,
-                put_repl(pars),
-                put_repl(sws),
-                put_acts(acts),
-                put_ths(np.ascontiguousarray(th)),
-            )
-        return fns_for(cur_chi)[4](state)
+        from qml_cutensornet_tpu.models.simulate import drive_brick_schedule
+
+        return drive_brick_schedule(
+            features, schedule, chunks2, chunk_arrays, layer_chunk, rdt, fns_for,
+            init_arg=lambda x: put_repl(x.astype(np.dtype(rdt))),
+            rz_arg=_rz_arg,
+            place_pars=put_repl,
+            place_acts=put_acts,
+            place_thetas=put_ths,
+            k_pad=K_s,
+            final_chi=final_chi,
+        )
 
     simulate.final_chi = final_chi
     cache[cache_key] = simulate
     return simulate
 
 
+def relay_auto_tile(chi: int, n_loc: int, dtype_bytes: int = 4) -> int:
+    """Memory-bounded relay tile: the live set of one relay stage is the
+    site-step intermediate ``t [tile, tile, chi, 2, chi]`` (16 B/elem as an
+    f32 (re, im) pair per 2 spin values -> ``32 tile^2 chi^2`` bytes) plus
+    the in/out carries (``16 tile^2 chi^2``) plus the two sliced site
+    blocks (``64 tile n_loc chi^2``). Bound both terms by
+    ``QMLTPU_RELAY_TILE_BYTES`` (default 2 GiB) — at chi=2048 that yields
+    tile ~6, at chi<=512 it saturates the 128 cap. (The resident sharded
+    state batches are a separate, caller-owned budget.)"""
+    budget = int(os.environ.get("QMLTPU_RELAY_TILE_BYTES", str(2 << 30)))
+    per = 2 * dtype_bytes  # (re, im) pair bytes per complex element
+    quad = int((budget / (24 * chi * chi * per)) ** 0.5)  # t + carries
+    lin = budget // (16 * max(n_loc, 1) * chi * chi * per)  # site blocks
+    return max(2, min(128, quad, lin))
+
+
+_RELAY_STAGE_CACHE: dict = {}
+
+
+def _relay_stage_fn(mesh, axis, tile: int, chi: int, n_loc: int, dtype_name: str,
+                    precision: str):
+    """One compiled relay stage (cached per shape set): every device
+    advances ITS current tile by its local site block, the last device
+    emits the finished tile, carries ppermute one hop right. The host
+    drives stages one dispatch at a time — per-dispatch device time stays
+    bounded (CLAUDE.md tunneled-backend rule) and the SAME small program
+    serves every stage of every call (no per-call or per-n_tiles
+    recompiles)."""
+    key = (mesh, axis, tile, chi, n_loc, dtype_name, precision)
+    if key in _RELAY_STAGE_CACHE:
+        return _RELAY_STAGE_CACHE[key]
+    ndev = int(mesh.shape[axis])
+    to_right = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+    from qml_cutensornet_tpu.parallel.gram import _tile_block
+
+    def stage(m_re, m_im, ay_re, ay_im, ax_re, ax_im, yi, xi):
+        # Per-device blocks: m [1, tile, tile, chi, chi]; ay/ax
+        # [B*, n_loc, chi, 2, chi]; yi/xi [1] int32 (host-clipped).
+        ay_l, ax_l = Cpx(ay_re, ay_im), Cpx(ax_re, ax_im)
+        idx = lax.axis_index(axis)
+        one = ay_l.re.reshape(-1)[0] * 0.0 + 1.0
+        m0re = jnp.zeros((1, tile, tile, chi, chi), ay_l.re.dtype).at[
+            :, :, :, 0, 0
+        ].set(1.0) * one
+        is_src = idx == 0
+        m_in = Cpx(
+            jnp.where(is_src, m0re, m_re),
+            jnp.where(is_src, jnp.zeros_like(m0re), m_im),
+        )
+        ay_b = cpx.tmap(
+            lambda a: lax.dynamic_slice_in_dim(a, yi[0] * tile, tile, axis=0), ay_l
+        )
+        ax_b = cpx.tmap(
+            lambda a: lax.dynamic_slice_in_dim(a, xi[0] * tile, tile, axis=0), ax_l
+        )
+
+        def site_step(mc, i):
+            ty = cpx.tmap(
+                lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
+                ay_b,
+            )
+            tx = cpx.tmap(
+                lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
+                ax_b,
+            )
+            return _tile_block(mc, ty, tx), None
+
+        m_sq = cpx.tmap(lambda a: a[0], m_in)
+        m_out, _ = lax.scan(site_step, m_sq, jnp.arange(n_loc))
+        done = cpx.abs2(cpx.tmap(lambda a: a[:, :, 0, 0], m_out))
+        m_out = cpx.tmap(lambda a: a[None], m_out)
+        m_next = cpx.tmap(lambda a: lax.ppermute(a, axis, to_right), m_out)
+        return m_next.re, m_next.im, done[None]
+
+    jitted = jax.jit(
+        jax.shard_map(
+            stage,
+            mesh=mesh,
+            in_specs=(
+                P(axis), P(axis),  # m carry blocks
+                P(None, axis), P(None, axis), P(None, axis), P(None, axis),
+                P(axis), P(axis),  # per-device tile coordinates
+            ),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+    def run(*args):
+        with jax.default_matmul_precision(precision):
+            return jitted(*args)
+
+    _RELAY_STAGE_CACHE[key] = (run, ndev)
+    return _RELAY_STAGE_CACHE[key]
+
+
 def sharded_tile_overlaps_sq(
-    ay: Cpx, ax: Cpx, mesh, tile: int = 32, precision: str = "highest"
+    ay: Cpx, ax: Cpx, mesh, tile: int | None = 32, precision: str = "highest",
+    symmetric: bool = False,
 ):
     """All-pairs squared overlaps between SITE-SHARDED MPS batches.
 
@@ -438,9 +526,18 @@ def sharded_tile_overlaps_sq(
     Comm per stage is one neighbor ppermute of M — the same
     compute-dominated shape as the Gram ring (docs/DESIGN.md §4).
 
-    This is the contraction path for states too large to gather per-device
-    (chi >~ 2048 at nq >= 100); below that, gather + the standard tile
-    engines win on simplicity (module docstring).
+    Each stage is ONE bounded dispatch of a cached compiled program
+    (:func:`_relay_stage_fn`) — tunneled backends never see a long device
+    program, compile cost is O(1) in the Gram size, and a crash loses at
+    most one stage of work. ``tile=None`` picks the largest tile whose
+    stage working set fits :func:`relay_auto_tile`'s budget (the resident
+    state batches themselves are the caller's budget: B site blocks of
+    ``32 n_loc chi^2`` bytes per device bound how large (B, chi) can get
+    before multi-host meshes are needed).
+
+    ``symmetric=True`` (ay is ax) computes only the ``yi <= xi`` tiles and
+    mirrors the transpose — the same ~2x saving as the ring's mirror-tile
+    rule (parallel/gram.py).
     """
     if len(mesh.axis_names) != 1:
         raise ValueError("sharded_tile_overlaps_sq wants a 1-D site mesh.")
@@ -450,6 +547,9 @@ def sharded_tile_overlaps_sq(
     By, chi_y = ay.re.shape[0], ay.re.shape[2]
     Bx, chi_x = ax.re.shape[0], ax.re.shape[2]
     chi = max(chi_y, chi_x)
+    n_loc = ay.re.shape[1] // ndev
+    if tile is None:
+        tile = relay_auto_tile(chi, n_loc)
     grow = lambda t: jnp.pad(
         t, ((0, 0), (0, 0), (0, chi - t.shape[2]), (0, 0), (0, chi - t.shape[4]))
     )
@@ -468,83 +568,45 @@ def sharded_tile_overlaps_sq(
     ay = cpx.tmap(lambda t: pad_b(t, byp), ay)
     ax = cpx.tmap(lambda t: pad_b(t, bxp), ax)
     nyb, nxb = byp // tile, bxp // tile
-    n_tiles = nyb * nxb
-    to_right = [(d, (d + 1) % ndev) for d in range(ndev)]
+    if symmetric and nyb != nxb:
+        raise ValueError("symmetric=True wants ay and ax the same batch")
+    tiles = [
+        (yi, xi)
+        for yi in range(nyb)
+        for xi in range(nxb)
+        if not symmetric or yi <= xi
+    ]
+    n_tiles = len(tiles)
+    yi_of = np.array([t[0] for t in tiles], np.int32)
+    xi_of = np.array([t[1] for t in tiles], np.int32)
 
-    from qml_cutensornet_tpu.parallel.gram import _tile_block
-
-    def relay(ay_re, ay_im, ax_re, ax_im):
-        ay_l, ax_l = Cpx(ay_re, ay_im), Cpx(ax_re, ax_im)
-        idx = lax.axis_index(axis)
-        n_loc = ay_l.re.shape[1]
-        one = ay_l.re.reshape(-1)[0] * 0.0 + 1.0
-        m0re = jnp.zeros((tile, tile, chi, chi), ay_l.re.dtype).at[
-            :, :, 0, 0
-        ].set(1.0) * one
-        m0 = Cpx(m0re, jnp.zeros_like(m0re))
-        m = m0
-        bufs = jnp.zeros((n_tiles, tile, tile), ay_l.re.dtype) * one
-
-        for s in range(n_tiles + ndev - 1):
-            t = s - idx
-            valid = (t >= 0) & (t < n_tiles)
-            tt = jnp.clip(t, 0, n_tiles - 1)
-            yi, xi = tt // nxb, tt % nxb
-            ay_b = cpx.tmap(
-                lambda a: lax.dynamic_slice_in_dim(a, yi * tile, tile, axis=0),
-                ay_l,
-            )
-            ax_b = cpx.tmap(
-                lambda a: lax.dynamic_slice_in_dim(a, xi * tile, tile, axis=0),
-                ax_l,
-            )
-            # Device 0 sources each tile fresh; others continue the relay.
-            is_src = idx == 0
-            m_in = Cpx(
-                jnp.where(is_src, m0.re, m.re), jnp.where(is_src, m0.im, m.im)
-            )
-
-            def site_step(mc, i):
-                ty = cpx.tmap(
-                    lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
-                    ay_b,
-                )
-                tx = cpx.tmap(
-                    lambda a: lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False),
-                    ax_b,
-                )
-                return _tile_block(mc, ty, tx), None
-
-            m_out, _ = lax.scan(site_step, m_in, jnp.arange(n_loc))
-            done = cpx.abs2(cpx.tmap(lambda a: a[:, :, 0, 0], m_out))
-            write = valid & (idx == ndev - 1)
-            bufs = bufs.at[tt].set(jnp.where(write, done, bufs[tt]))
-            m = cpx.tmap(lambda a: lax.ppermute(a, axis, to_right), m_out)
-
-        # Only the last device holds real results; psum replicates them.
-        return lax.psum(jnp.where(idx == ndev - 1, bufs, 0.0), axis)
-
-    run = jax.jit(
-        jax.shard_map(
-            relay,
-            mesh=mesh,
-            in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
-            out_specs=P(),
-        )
+    run, _ = _relay_stage_fn(
+        mesh, axis, tile, chi, n_loc, str(np.dtype(ay.re.dtype)), precision
     )
-    with jax.default_matmul_precision(precision):
-        bufs = run(ay.re, ay.im, ax.re, ax.im)
-    out = jnp.concatenate(
-        [
-            jnp.concatenate([bufs[yi * nxb + xi] for xi in range(nxb)], axis=1)
-            for yi in range(nyb)
-        ],
-        axis=0,
+    sh_m = NamedSharding(mesh, P(axis))
+    m_re = jax.device_put(
+        np.zeros((ndev, tile, tile, chi, chi), ay.re.dtype), sh_m
     )
+    m_im = jax.device_put(np.zeros_like(np.asarray(m_re)), sh_m)
+    out = np.zeros((byp, bxp), np.dtype(ay.re.dtype))
+    for s in range(n_tiles + ndev - 1):
+        t_of_dev = np.clip(s - np.arange(ndev), 0, n_tiles - 1)
+        yi_s = jax.device_put(yi_of[t_of_dev], sh_m)
+        xi_s = jax.device_put(xi_of[t_of_dev], sh_m)
+        m_re, m_im, done = run(m_re, m_im, ay.re, ay.im, ax.re, ax.im, yi_s, xi_s)
+        t_last = s - (ndev - 1)
+        if 0 <= t_last < n_tiles:
+            yi, xi = tiles[t_last]
+            blk = np.asarray(done[ndev - 1])
+            out[yi * tile : (yi + 1) * tile, xi * tile : (xi + 1) * tile] = blk
+            if symmetric and yi != xi:
+                out[xi * tile : (xi + 1) * tile, yi * tile : (yi + 1) * tile] = blk.T
     return out[:By, :Bx]
 
 
-def sharded_gram(ansatz, X, cfg: SimConfig, mesh, tile: int = 32) -> np.ndarray:
+def sharded_gram(
+    ansatz, X, cfg: SimConfig, mesh, tile: int | None = None
+) -> np.ndarray:
     """Fully site-sharded symmetric Gram build: evolve with the state's
     site axis sharded (gather=False) and contract with the pipelined
     relay — nothing is ever gathered per-device. Normalization follows
@@ -562,7 +624,7 @@ def sharded_gram(ansatz, X, cfg: SimConfig, mesh, tile: int = 32) -> np.ndarray:
     k = np.asarray(
         sharded_tile_overlaps_sq(
             st.tensors, st.tensors, mesh, tile=tile,
-            precision=cfg.resolved_tile_precision,
+            precision=cfg.resolved_tile_precision, symmetric=True,
         )
     )
     if os.environ.get("QMLTPU_NORMALIZE", "1") != "0":

@@ -194,3 +194,46 @@ def test_padded_sites_for():
         for n_p in (9, 11, 13, 103):
             n_s = padded_sites_for(n_p, ndev)
             assert n_s > n_p and n_s % (2 * ndev) == 0
+
+
+def test_sharded_overlaps_symmetric_mirror():
+    """symmetric=True computes only the upper-triangle tiles and mirrors
+    the transpose — identical to the full enumeration."""
+    from qml_cutensornet_tpu.parallel.sharded_mps import (
+        make_sharded_brick_simulator,
+        sharded_tile_overlaps_sq,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 10
+    ansatz = KernelStateAnsatz(n, 2, 1.0, entanglement_graph(n, 3), routing="brick")
+    X = rng.uniform(0, 2, size=(7, n))
+    cfg = SimConfig(chi=16, truncation_error=1e-16, precision="f32",
+                    svd_method="subspace", subspace_iters=1)
+    mesh = make_mesh(4, axis="sp")
+    st = make_sharded_brick_simulator(ansatz.schedule, cfg, mesh, gather=False)(X)
+    full = np.asarray(
+        sharded_tile_overlaps_sq(st.tensors, st.tensors, mesh, tile=3)
+    )
+    sym = np.asarray(
+        sharded_tile_overlaps_sq(
+            st.tensors, st.tensors, mesh, tile=3, symmetric=True
+        )
+    )
+    # Mirrored OFF-DIAGONAL blocks are exact transposes (copied, not
+    # recomputed); within diagonal tiles K[i,j]/K[j,i] are independently
+    # rounded f32 values, so only near-symmetry holds there.
+    np.testing.assert_array_equal(sym[3:6, 0:3], sym[0:3, 3:6].T)
+    np.testing.assert_allclose(sym, sym.T, atol=1e-6)
+    np.testing.assert_allclose(sym, full, atol=2e-6)
+
+
+def test_relay_auto_tile_memory_bound():
+    from qml_cutensornet_tpu.parallel.sharded_mps import relay_auto_tile
+
+    # Large chi forces a small tile; small chi saturates the 128 cap.
+    assert relay_auto_tile(2048, 13) <= 8
+    assert relay_auto_tile(16, 13) == 128
+    t = relay_auto_tile(512, 13)
+    per = 8  # (re, im) f32 bytes per complex element
+    assert 24 * t * t * 512 * 512 * per <= (2 << 30)
