@@ -44,7 +44,11 @@ def main() -> None:
     # Whole-batch execution measured fastest with the Pallas orthonormalizer
     # (batch blocks are sized internally to VMEM): 3.16 s vs 3.40 s at 50.
     sim_batch = int(os.environ.get("QMLTPU_SIM_BATCH", 100))
-    tile = int(os.environ.get("QMLTPU_TILE", 100))
+    # Tile scan carry is [tile, chi, 2, tile, chi] (+ temps of the same
+    # order): tile=100 at chi=256 is a 5 GB carry and OOMs 16 GB HBM.
+    # Shrink tiles so the carry stays <= ~1.3 GB.
+    default_tile = 100 if chi <= 128 else (50 if chi <= 256 else 20)
+    tile = int(os.environ.get("QMLTPU_TILE", default_tile))
 
     from qml_cutensornet_tpu.config import SimConfig
     from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
@@ -97,7 +101,7 @@ def main() -> None:
     import pathlib
 
     if not pathlib.Path("datasets/elliptic_preproc.csv").is_file():
-        make_synthetic_elliptic(n_labeled=4 * n_points, seed=11)
+        make_synthetic_elliptic()  # no-op when the committed raw CSVs exist
         preprocess_elliptic()
     half = -(-5 * n_points // 8) + 1  # train split is ~80% of 2*half
     X, _, _, _ = load_and_prepare("datasets/elliptic_preproc.csv", nq, half, half, 5)

@@ -17,7 +17,8 @@ def main(argv=None) -> None:
     argv = sys.argv if argv is None else argv
     n_labeled = int(argv[1]) if len(argv) > 1 else 2000
     seed = int(argv[2]) if len(argv) > 2 else 0
-    make_synthetic_elliptic(n_labeled=n_labeled, seed=seed)
+    force = "--force" in argv
+    make_synthetic_elliptic(n_labeled=n_labeled, seed=seed, force=force)
     df = preprocess_elliptic()
     n0 = int((df["Class"] == 0).sum())
     n1 = int((df["Class"] == 1).sum())

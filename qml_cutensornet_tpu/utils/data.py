@@ -120,11 +120,37 @@ def make_synthetic_elliptic(
     n_unknown: int = 500,
     illicit_frac: float = 0.25,
     seed: int = 0,
+    force: bool = False,
 ) -> None:
     """Generate raw CSVs with the Kaggle Elliptic schema for testing and
     benchmarking (the real dataset is not redistributable and cannot be
     fetched here). Features carry class-correlated Gaussian structure so the
-    downstream SVM has signal to find."""
+    downstream SVM has signal to find.
+
+    The committed f64 golden (runs/golden/) is pinned to the committed raw
+    CSVs, so silently regenerating them with different parameters corrupts
+    every parity check. A ``.provenance.json`` records the generation
+    parameters: a matching call is a no-op, a mismatched one raises unless
+    ``force=True``."""
+    params = {
+        "n_labeled": n_labeled,
+        "n_unknown": n_unknown,
+        "illicit_frac": illicit_frac,
+        "seed": seed,
+    }
+    prov = pathlib.Path(dataset_dir) / ".provenance.json"
+    raw = pathlib.Path(dataset_dir) / "elliptic_txs_features.csv"
+    if raw.is_file() and not force:
+        import json
+
+        existing = json.loads(prov.read_text()) if prov.is_file() else None
+        if existing == params:
+            return  # identical dataset already on disk
+        raise RuntimeError(
+            f"datasets at {dataset_dir} exist (provenance: {existing}); "
+            f"refusing to overwrite with {params} — the committed golden is "
+            "pinned to them. Pass force=True to regenerate anyway."
+        )
     rng = np.random.default_rng(seed)
     n = n_labeled + n_unknown
     node_ids = rng.choice(np.arange(10_000_000, 99_999_999), size=n, replace=False)
@@ -153,3 +179,6 @@ def make_synthetic_elliptic(
     feat_df.to_csv(f"{dataset_dir}/elliptic_txs_features.csv", header=False, index=False)
     cls_df = pd.DataFrame({"Node": node_ids, "Class": labels})
     cls_df.to_csv(f"{dataset_dir}/elliptic_txs_classes.csv", header=False, index=False)
+    import json
+
+    prov.write_text(json.dumps(params))

@@ -1,0 +1,99 @@
+"""Runtime-scaling rows, in-process and WARM (reference:
+runs/runtime_scaling/run_all.sh — nf=165, r2, g0.1, d1, dataset sizes
+swept; the reference's native backends have no JIT compile, so its
+total_time is steady-state).
+
+One process for the whole sweep: a small prewarm run compiles every
+program (the compiled programs are dataset-size independent — fixed
+chunk/tile shapes), then each recorded size runs warm, so total_time
+measures the build, not the compiler. Replaces the cold _m1 rows the
+round-2 verdict flagged (total 436 s vs sim+dot ~6 s).
+
+Env: NTRS (default "50 100 200"), NF, D, G.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+ROOT = HERE.parent.parent
+
+
+def main() -> None:
+    os.chdir(ROOT)
+    sys.path.insert(0, str(ROOT))
+    from qml_cutensornet_tpu.cli import main_no_test
+    from qml_cutensornet_tpu.utils.naming import run_info
+
+    nf = int(os.environ.get("NF", "165"))
+    d = int(os.environ.get("D", "1"))
+    g = float(os.environ.get("G", "0.1"))
+    ntrs = [int(x) for x in os.environ.get("NTRS", "50 100 200").split()]
+    s = 5
+    df = "elliptic_preproc.csv"
+
+    (HERE / "raw").mkdir(exist_ok=True)
+    res = HERE / "results.csv"
+    if res.exists() and not (HERE / "results.csv.bak").exists():
+        shutil.copy(res, HERE / "results.csv.bak")
+    if not (ROOT / "datasets" / df).exists():
+        from qml_cutensornet_tpu.cli import make_synthetic
+
+        make_synthetic.main(["make_synthetic.py"])
+
+    def run(ntr: int) -> None:
+        main_no_test.main(
+            ["main_no_test.py", "TPU", str(nf), "2", str(g), str(d), str(ntr), str(ntr), str(s), df]
+        )
+
+    def cleanup(move_to_raw: bool) -> None:
+        for p in ROOT.glob("train_Nf*.json"):
+            if move_to_raw:
+                shutil.move(str(p), HERE / "raw" / (p.stem + "_m1.json"))
+            else:
+                p.unlink()
+        for p in list(ROOT.glob("train_Nf*.npy")) + list((ROOT / "kernels").glob("train_Nf*.npy")):
+            p.unlink()
+
+    # Prewarm: compiles the simulator + tile programs once for the sweep.
+    run(16)
+    cleanup(move_to_raw=False)
+
+    for ntr in ntrs:
+        run(ntr)
+        cleanup(move_to_raw=True)
+        print(f"[runtime_scaling] recorded warm ntr={ntr}", flush=True)
+
+    # Rebuild the CSV and annotate platform (the _m1 rows just recorded ran
+    # on this process's backend; multi-mesh rows are the virtual-mesh demo).
+    sys.path.insert(0, str(HERE.parent))
+    from common import runtime_scaling_csv
+
+    import jax
+    import pandas as pd
+
+    backend = jax.default_backend()
+    plat = (
+        f"{jax.devices()[0].device_kind} (1 chip, warm)"
+        if backend not in ("cpu",)
+        else "CPU (warm)"
+    )
+    df_new = runtime_scaling_csv(str(HERE / "raw"), str(HERE / "results.csv"))
+    df_new["platform"] = plat
+    # Keep the virtual-mesh (m2/m4/m8) rows from the previous CSV — their
+    # raw JSONs are not in raw/ anymore, only the aggregated rows survive.
+    prev = HERE / "results.csv.bak"
+    if prev.exists():
+        df_prev = pd.read_csv(prev)
+        keep = df_prev[~df_prev["data_set"].astype(str).str.endswith("_m1")]
+        df_new = pd.concat([keep, df_new], ignore_index=True)
+    df_new.to_csv(HERE / "results.csv", index=False)
+    print(df_new)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ def main():
 
     # Identical dataset construction to bench.py.
     if not pathlib.Path("datasets/elliptic_preproc.csv").is_file():
-        make_synthetic_elliptic(n_labeled=4 * n_points, seed=11)
+        make_synthetic_elliptic()  # no-op when the committed raw CSVs exist
         preprocess_elliptic()
     half = -(-5 * n_points // 8) + 1
     X, _, _, _ = load_and_prepare("datasets/elliptic_preproc.csv", nq, half, half, 5)
