@@ -121,6 +121,7 @@ def main() -> None:
         # One power iteration is exact under exact rank and loses <1e-5
         # fidelity under the bench's mild truncation; ~25% faster.
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 1)),
+        oversample=int(os.environ.get("QMLTPU_OVERSAMPLE", 0)),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",

@@ -28,6 +28,10 @@ positional contract come from environment variables:
     QMLTPU_FUSED_SPLIT 1 enables the fused Pallas subspace-split + Q+R
                        kernels (TPU f32, chi <= 128; default 0 until
                        benched — see ops/pallas_split.py)
+    QMLTPU_OVERSAMPLE  subspace oversampling p: iterate with chi+p basis
+                       columns, keep the top-chi by weight (default 0;
+                       multiples of 8 keep the fused kernel eligible —
+                       see SimConfig.oversample)
     QMLTPU_BRICK_CAPS  1 enables per-pair structural bond caps in the brick
                        engine (exact; edge pairs dispatch at sliced shapes
                        — see ops/vidal.structural_caps; default 0 until
@@ -147,6 +151,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         precision=os.environ.get("QMLTPU_PRECISION", "f32"),
         svd_method=os.environ.get("QMLTPU_SVD", "subspace"),
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 2)),
+        oversample=int(os.environ.get("QMLTPU_OVERSAMPLE", 0)),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",

@@ -71,6 +71,15 @@ class SimConfig:
     # factorization; see ops/svd.py). 2 suffices for exact-rank regimes;
     # raise for aggressive truncation with slowly decaying spectra.
     subspace_iters: int = 2
+    # Subspace OVERSAMPLING (randomized-SVD style, svd_method="subspace"
+    # only): iterate with ``keep + oversample`` basis columns and select the
+    # top-``keep`` by captured weight before masking. A wider iterate
+    # captures weak directions near the truncation cut that a keep-width
+    # subspace can rotate away from, sharpening fidelity at ~(1 +
+    # oversample/keep) extra cost in the factorization stage. Multiples of
+    # 8 keep the fused Pallas kernel eligible (panel alignment). Default 0
+    # (off) pending the on-chip fidelity-vs-time A/B (runs/perf_ab).
+    oversample: int = 0
     # MXU accumulation precision for f32 data. TPUs default to bfloat16
     # matmul passes for f32 inputs, which injects ~1e-2 relative error into
     # deep circuits — far outside the 1e-6 parity budget. "highest" forces
@@ -135,6 +144,8 @@ class SimConfig:
             raise ValueError(f"Unknown tile_precision: {self.tile_precision}")
         if self.chi < 1:
             raise ValueError("chi must be >= 1")
+        if self.oversample < 0:
+            raise ValueError("oversample must be >= 0")
 
     @property
     def real_dtype(self):

@@ -167,12 +167,21 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     factor; the eps mask uses a sorted threshold so rows need not be
     reordered (bond basis order is unphysical).
 
+    With ``cfg.oversample = p > 0`` the iteration runs with ``keep + p``
+    basis columns and the top-``keep`` directions by captured weight are
+    gathered out afterwards (randomized-SVD oversampling): the wider
+    iterate pins down weak directions near the cut that a keep-width
+    subspace can partially rotate away from, at ~(1 + p/keep) extra cost
+    in this stage. The dropped p directions' weight lands in ``beyond``
+    and is charged to the discarded fraction exactly like unseen spectrum.
+
     Returns (left, right, kept_fraction, rank) like :func:`truncated_svd`.
     """
     m, k = theta.re.shape
     rdt = theta.re.dtype
 
-    v0re, v0im = _subspace_start(m, keep, np.dtype(rdt).name)
+    nc = keep + max(0, cfg.oversample)
+    v0re, v0im = _subspace_start(m, nc, np.dtype(rdt).name)
     v = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
     iters = max(1, cfg.subspace_iters)
     from qml_cutensornet_tpu.ops import pallas_split
@@ -195,7 +204,7 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         and cfg.matmul_precision in ("highest", "float32")
         and cfg.power_precision == "inherit"
         and pallas_split.fused_split_supported(
-            m, k, keep, rdt, iters, interpret=cfg.fused_interpret
+            m, k, nc, rdt, iters, interpret=cfg.fused_interpret
         )
     ):
         # One fused VMEM-resident launch for the whole chain (theta loaded
@@ -204,7 +213,7 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         # kernel runs the better-conditioned inter-orth double-multiply
         # form, span-identical to the h-power loop in exact arithmetic).
         q, r = pallas_split.subspace_factor(
-            theta, v, keep, iters, interpret=cfg.fused_interpret
+            theta, v, nc, iters, interpret=cfg.fused_interpret
         )
     elif iters == 1:
         # Single power step: apply theta twice (two skinny [m,k]x[k,keep]
@@ -239,6 +248,13 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
 
     s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
     total = jnp.sum(cpx.abs2(theta))
+    if nc > keep:
+        # Oversampled: gather the top-keep directions by captured weight.
+        # (argsort is stable; ties resolve by index, deterministically.)
+        sel = jnp.argsort(-s2)[:keep]
+        q = Cpx(q.re[:, sel], q.im[:, sel])
+        r = Cpx(r.re[sel, :], r.im[sel, :])
+        s2 = s2[sel]
     beyond = jnp.maximum(total - jnp.sum(s2), 0.0)
 
     s2_sorted = jnp.sort(s2)[::-1]

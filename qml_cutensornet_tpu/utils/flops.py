@@ -76,26 +76,27 @@ def center_move_flops(chi: int) -> int:
     )
 
 
-def two_site_flops(chi: int, subspace_iters: int) -> int:
+def two_site_flops(chi: int, subspace_iters: int, oversample: int = 0) -> int:
     """One truncating two-site update at working chi (ops/mps.py:apply_2site
-    + ops/svd.py:_split_subspace), theta [2chi, 2chi], keep = chi."""
+    + ops/svd.py:_split_subspace), theta [2chi, 2chi], keep = chi. With
+    oversampling the iterate runs at ``keep + oversample`` columns."""
     m = 2 * chi
     k = 2 * chi
-    keep = chi
+    nc = chi + oversample
     f = cmatmul_flops(2 * chi, chi, 2 * chi)  # theta build (asb,btc->astc)
     f += 8 * 4 * (4 * chi * chi)  # 4x4 gate contraction (stuv,auvc->astc)
     if subspace_iters <= 1:
-        f += cmatmul_flops(k, m, keep)  # w = theta^H v
-        f += orth_flops(k, keep)
-        f += cmatmul_flops(m, k, keep)  # v = theta w
-        f += orth_flops(m, keep)
-        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+        f += cmatmul_flops(k, m, nc)  # w = theta^H v
+        f += orth_flops(k, nc)
+        f += cmatmul_flops(m, k, nc)  # v = theta w
+        f += orth_flops(m, nc)
+        f += cmatmul_flops(nc, m, k)  # r = q^H theta
     else:
         f += cmatmul_flops(m, k, m)  # h = theta theta^H
         for _ in range(subspace_iters):
-            f += cmatmul_flops(m, m, keep)  # v = h v
-            f += orth_flops(m, keep)
-        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+            f += cmatmul_flops(m, m, nc)  # v = h v
+            f += orth_flops(m, nc)
+        f += cmatmul_flops(nc, m, k)  # r = q^H theta
     return f
 
 
@@ -128,31 +129,33 @@ def sim_flops_per_circuit(
                 elif kind >= GATE_RX:
                     total += single_site_flops(chi)
                 else:
-                    total += two_site_flops(chi, cfg.subspace_iters)
+                    total += two_site_flops(chi, cfg.subspace_iters, cfg.oversample)
     return total
 
 
-def brick_pair_flops(cl: int, cm: int, cr: int, subspace_iters: int) -> int:
+def brick_pair_flops(
+    cl: int, cm: int, cr: int, subspace_iters: int, oversample: int = 0
+) -> int:
     """One Hastings pair update at structural caps (cl, cm, cr)
     (ops/vidal.py:update_pairs): theta build + gate, lambda weighting,
     right-sided subspace split of [2cl, 2cr] keeping cm (runs on the
     transpose: m=2cr, k=2cl), and the unweighted-theta recontraction
-    new_a = theta~ V^H."""
+    new_a = theta~ V^H. Oversampling widens the iterate to cm+oversample."""
     f = 32 * cl * cm * cr  # theta0 = a x b
     f += 128 * cl * cr  # 4x4 gate contraction
-    m, k, keep = 2 * cr, 2 * cl, cm
+    m, k, nc = 2 * cr, 2 * cl, cm + oversample
     if subspace_iters <= 1:
-        f += cmatmul_flops(k, m, keep)  # theta^H v
-        f += orth_flops(k, keep)
-        f += cmatmul_flops(m, k, keep)  # theta w
-        f += orth_flops(m, keep)
-        f += cmatmul_flops(keep, m, k)  # r = q^H theta
+        f += cmatmul_flops(k, m, nc)  # theta^H v
+        f += orth_flops(k, nc)
+        f += cmatmul_flops(m, k, nc)  # theta w
+        f += orth_flops(m, nc)
+        f += cmatmul_flops(nc, m, k)  # r = q^H theta
     else:
         f += cmatmul_flops(m, k, m)  # h = theta theta^H
         for _ in range(subspace_iters):
-            f += cmatmul_flops(m, m, keep)
-            f += orth_flops(m, keep)
-        f += cmatmul_flops(keep, m, k)
+            f += cmatmul_flops(m, m, nc)
+            f += orth_flops(m, nc)
+        f += cmatmul_flops(nc, m, k)
     f += cmatmul_flops(2 * cl, 2 * cr, cm)  # new_a = theta~ V^H
     return f
 
@@ -180,12 +183,12 @@ def brick_sim_flops_per_circuit(
             if stage not in cap_cache:
                 cap_cache[stage] = structural_caps(n, K, stage)
             per_layer = sum(
-                brick_pair_flops(cl, cm, cr, cfg.subspace_iters)
+                brick_pair_flops(cl, cm, cr, cfg.subspace_iters, cfg.oversample)
                 for (cl, cm, cr) in cap_cache[stage]
             )
         else:
             per_layer = K * brick_pair_flops(
-                stage, stage, stage, cfg.subspace_iters
+                stage, stage, stage, cfg.subspace_iters, cfg.oversample
             )
         total += layer_chunk * per_layer
     # Rz feature layers (one per rep) and 1q gates: O(chi^2), negligible
