@@ -209,39 +209,33 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
     ):
         # One fused VMEM-resident launch for the whole chain (theta loaded
         # once; same BCGS2 body, HIGHEST-precision dots — see the module
-        # docstring for the rounding-delta argument; for iters > 1 the
-        # kernel runs the better-conditioned inter-orth double-multiply
-        # form, span-identical to the h-power loop in exact arithmetic).
+        # docstring for the rounding-delta argument). Kernel and unfused
+        # path below run the SAME inter-orth double-multiply iteration; the
+        # kernel only changes memory residency and f32 summation order.
         q, r = pallas_split.subspace_factor(
             theta, v, nc, iters, interpret=cfg.fused_interpret
         )
-    elif iters == 1:
-        # Single power step: apply theta twice (two skinny [m,k]x[k,keep]
-        # products) instead of forming theta theta^H (an [m,m,k] product) —
-        # ~2x fewer flops for this stage. Orthonormalizing BETWEEN the two
-        # applications is load-bearing at f32: it keeps the basis the final
-        # orthonormalization sees at conditioning ~s (theta's spectrum)
-        # instead of ~s^2, so weak-but-real singular directions sit well
-        # above the roundoff floor (same subspace in exact arithmetic:
-        # span(theta theta^H v0) == span(theta orth(theta^H v0))).
-        with power_ctx():
-            w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
-        w = cpx.qr_orth(w, fused=cfg.fused_split, interpret=cfg.fused_interpret)
-        with power_ctx():
-            v = cpx.einsum("ij,jk->ik", theta, w)
-        q = cpx.qr_orth(v, fused=cfg.fused_split, interpret=cfg.fused_interpret)
-        r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
     else:
-        with power_ctx():
-            h = cpx.einsum("ij,lj->il", theta, cpx.conj(theta))  # [m, m] Hermitian
-        # Householder QR (interleaved embedding) after EVERY power multiply.
-        # In exact arithmetic any span-preserving conditioning between
-        # multiplies would do, but in f32 a ridged CholeskyQR measurably
-        # loses weak singular directions before the final orthonormalization
-        # (benchmark fidelity 0.99910 vs 0.99993) — full QR is worth its cost.
+        # Inter-orthonormalized double-multiply form, every iteration:
+        # w = orth(theta^H v); v = orth(theta w). Two skinny [m,k]x[k,nc]
+        # products per iteration instead of forming theta theta^H once and
+        # powering it. Orthonormalizing BETWEEN the two applications is
+        # load-bearing at f32: the basis every orthonormalization sees is
+        # conditioned ~s (theta's spectrum), not ~s^2, so weak-but-real
+        # singular directions stay well above the roundoff floor. The
+        # h-power loop this replaces squared the condition number per
+        # multiply and measurably lost weak directions on chip at iters=2
+        # (32q bench chi128: fidelity 0.99977 / parity 2.9e-6 vs this
+        # form's 0.99996 / 2.9e-8 through the fused kernel, which has
+        # always used the double-multiply form — runs/perf_ab). Same
+        # subspace in exact arithmetic:
+        # span((theta theta^H)^q v0) == span of this loop's iterate.
         for _ in range(iters):
             with power_ctx():
-                v = cpx.einsum("ij,jk->ik", h, v)
+                w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
+            w = cpx.qr_orth(w, fused=cfg.fused_split, interpret=cfg.fused_interpret)
+            with power_ctx():
+                v = cpx.einsum("ij,jk->ik", theta, w)
             v = cpx.qr_orth(v, fused=cfg.fused_split, interpret=cfg.fused_interpret)
         q = v
         r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]

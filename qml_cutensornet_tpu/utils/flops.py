@@ -85,18 +85,14 @@ def two_site_flops(chi: int, subspace_iters: int, oversample: int = 0) -> int:
     nc = chi + oversample
     f = cmatmul_flops(2 * chi, chi, 2 * chi)  # theta build (asb,btc->astc)
     f += 8 * 4 * (4 * chi * chi)  # 4x4 gate contraction (stuv,auvc->astc)
-    if subspace_iters <= 1:
+    # Inter-orthonormalized double-multiply iterations (ops/svd.py): per
+    # iteration w = orth(theta^H v); v = orth(theta w).
+    for _ in range(max(1, subspace_iters)):
         f += cmatmul_flops(k, m, nc)  # w = theta^H v
         f += orth_flops(k, nc)
         f += cmatmul_flops(m, k, nc)  # v = theta w
         f += orth_flops(m, nc)
-        f += cmatmul_flops(nc, m, k)  # r = q^H theta
-    else:
-        f += cmatmul_flops(m, k, m)  # h = theta theta^H
-        for _ in range(subspace_iters):
-            f += cmatmul_flops(m, m, nc)  # v = h v
-            f += orth_flops(m, nc)
-        f += cmatmul_flops(nc, m, k)  # r = q^H theta
+    f += cmatmul_flops(nc, m, k)  # r = q^H theta
     return f
 
 
@@ -144,18 +140,12 @@ def brick_pair_flops(
     f = 32 * cl * cm * cr  # theta0 = a x b
     f += 128 * cl * cr  # 4x4 gate contraction
     m, k, nc = 2 * cr, 2 * cl, cm + oversample
-    if subspace_iters <= 1:
+    for _ in range(max(1, subspace_iters)):
         f += cmatmul_flops(k, m, nc)  # theta^H v
         f += orth_flops(k, nc)
         f += cmatmul_flops(m, k, nc)  # theta w
         f += orth_flops(m, nc)
-        f += cmatmul_flops(nc, m, k)  # r = q^H theta
-    else:
-        f += cmatmul_flops(m, k, m)  # h = theta theta^H
-        for _ in range(subspace_iters):
-            f += cmatmul_flops(m, m, nc)
-            f += orth_flops(m, nc)
-        f += cmatmul_flops(nc, m, k)
+    f += cmatmul_flops(nc, m, k)  # r = q^H theta
     f += cmatmul_flops(2 * cl, 2 * cr, cm)  # new_a = theta~ V^H
     return f
 
