@@ -49,13 +49,14 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
 
 
 def _chi_bucket(max_chi: int, padded_chi: int) -> int:
-    """Smallest lane-aligned (multiple-of-128) chi >= the batch's actual
-    tracked rank, capped at the simulator's padding. Slicing MPS tensors
-    down to this is LOSSLESS: bond padding beyond each bond's kept rank is
-    exact zeros by the engine invariant (docs/DESIGN.md numerics ledger).
-    Small-chi configs (padded_chi <= 128) are returned unchanged so their
-    compiled tile programs stay warm."""
-    b = max(128, -(-int(max_chi) // 128) * 128)
+    """Smallest multiple-of-64 chi >= the batch's actual tracked rank
+    (floored at 128 so small configs' compiled tile programs stay warm),
+    capped at the simulator's padding. Slicing MPS tensors down to this is
+    LOSSLESS: bond padding beyond each bond's kept rank is exact zeros by
+    the engine invariant (docs/DESIGN.md numerics ledger). 64-granularity:
+    HBM storage and host/tunnel transfers are compact at any multiple of
+    64; XLA pads the lane dimension to 128 only inside vector registers."""
+    b = max(128, -(-int(max_chi) // 64) * 64)
     return min(b, padded_chi)
 
 
@@ -69,12 +70,13 @@ def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: 
     than one in-flight batch at full padding — at chi=1024, nq=100, ten
     states at full padding are 15.6 GB, more than a v5e's HBM. The
     assembled result lives on host (numpy) when it exceeds
-    ``QMLTPU_STATES_DEVICE_BYTES`` (default 6e9); the tile loop then
-    uploads one tile block per dispatch instead."""
+    ``QMLTPU_STATES_DEVICE_BYTES`` (default 10e9 — leaves ~6 GB of a v5e's
+    16 GB HBM for the tile scan's carry and temporaries); the tile loop
+    then uploads one tile block per dispatch instead."""
     n_pts = features.shape[0]
     padded = _pad_rows(np.asarray(features, dtype=np.float64), sim_batch)
     sim = make_chunked_simulator(schedule, cfg)
-    device_limit = float(os.environ.get("QMLTPU_STATES_DEVICE_BYTES", "6e9"))
+    device_limit = float(os.environ.get("QMLTPU_STATES_DEVICE_BYTES", "10e9"))
     n_batches = padded.shape[0] // sim_batch
     keep_device = None  # decided from the first batch's compiled shape
     tensors, fids, chis, batch_times = [], [], [], []
@@ -87,44 +89,49 @@ def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: 
         batch_times.append(time.perf_counter() - t0)
         batch_chis = np.asarray(jnp.max(out.bond_dims, axis=-1))
         t = out.tensors
+        # Slice to the batch's chi bucket FIRST (lossless: bond padding is
+        # exact zeros by the engine invariant) so both the residency
+        # decision and any host fetch see the compact size — at a chi=256
+        # cap with actual rank <= 192, deciding on the padded size pushed
+        # the 32q chi256 bench onto the host path and its tunneled
+        # round-trip cost ~900 s of a 1109 s wall (runs/perf_ab).
+        c = _chi_bucket(int(batch_chis.max(initial=1)), t.re.shape[2])
+        buckets.append(c)
+        if c < t.re.shape[2]:
+            t = cpx.tmap(lambda a: a[:, :, :c, :, :c], t)
         if keep_device is None:
             # Small-footprint regime: the full assembled batch (plus its
             # one-off concat copy) fits the device budget — keep everything
-            # in HBM. The host round-trip is only for the large-chi regime:
-            # through a tunneled backend it costs ~GB of transfers (measured
-            # 3.1 s -> 58 s on the 32q bench when applied unconditionally).
+            # in HBM. The host round-trip is only for the truly large-chi
+            # regime: through a tunneled backend it costs ~GB of transfers
+            # (measured 3.1 s -> 58 s on the 32q chi64 bench when applied
+            # unconditionally).
             keep_device = 2 * 2 * t.re.nbytes * n_batches <= device_limit
         if keep_device:
-            tensors.append(t)
+            tensors.append(t)  # device-resident, sliced to its own bucket
         else:
-            c = _chi_bucket(int(batch_chis.max(initial=1)), t.re.shape[2])
-            buckets.append(c)
-            if c < t.re.shape[2]:
-                t = cpx.tmap(lambda a: a[:, :, :c, :, :c], t)
             # Host fetch: frees the batch's HBM before the next sim dispatch.
             t = Cpx(np.asarray(t.re), np.asarray(t.im))
             tensors.append(t)
         fids.append(np.asarray(out.fidelity))
         chis.append(batch_chis)
 
+    c = max(buckets)
+
+    def _pad_to_bucket(p, xp):  # pad one batch to the global bucket (exact zeros)
+        if p.shape[2] == c:
+            return p
+        return xp.pad(
+            p, ((0, 0), (0, 0), (0, c - p.shape[2]), (0, 0), (0, c - p.shape[4]))
+        )
+
     if keep_device:
-        re = jnp.concatenate([t.re for t in tensors], axis=0)[:n_pts]
-        im = jnp.concatenate([t.im for t in tensors], axis=0)[:n_pts]
+        re = jnp.concatenate([_pad_to_bucket(t.re, jnp) for t in tensors], axis=0)[:n_pts]
+        im = jnp.concatenate([_pad_to_bucket(t.im, jnp) for t in tensors], axis=0)[:n_pts]
         tensors = Cpx(re, im)
     else:
-        c = max(buckets)
-
-        def _assemble(parts):  # host-side: pad each batch to the global bucket
-            parts = [
-                np.pad(p, ((0, 0), (0, 0), (0, c - p.shape[2]), (0, 0), (0, c - p.shape[4])))
-                if p.shape[2] < c
-                else p
-                for p in parts
-            ]
-            return np.concatenate(parts, axis=0)[:n_pts]
-
-        re = _assemble([t.re for t in tensors])
-        im = _assemble([t.im for t in tensors])
+        re = np.concatenate([_pad_to_bucket(t.re, np) for t in tensors], axis=0)[:n_pts]
+        im = np.concatenate([_pad_to_bucket(t.im, np) for t in tensors], axis=0)[:n_pts]
         if 2 * re.nbytes <= device_limit:
             tensors = Cpx(jnp.asarray(re), jnp.asarray(im))
         else:

@@ -29,7 +29,21 @@ bench_ab() { # bench_ab <name> [ENV=val ...]
     fi
 }
 
+# chi256 re-measure after the slice-before-residency fix (models/gram.py):
+# the first records carried ~900 s of tunneled host round-trip because the
+# residency decision saw the padded (not bucketed) state size.
+for stale in bench_chi256 bench_fused_chi256; do
+    if [ -s "runs/perf_ab/$stale.json" ] \
+        && [ ! -e "runs/perf_ab/${stale}_prefix_v1.json" ]; then
+        mv "runs/perf_ab/$stale.json" "runs/perf_ab/${stale}_prefix_v1.json"
+        mv "runs/perf_ab/$stale.err.txt" "runs/perf_ab/${stale}_prefix_v1.err.txt" 2>/dev/null || true
+    fi
+done
+bench_ab bench_chi256 BENCH_CHI=256
+bench_ab bench_fused_chi256 QMLTPU_FUSED_SPLIT=1 BENCH_CHI=256
+
 bench_ab bench_chi128 BENCH_CHI=128
+bench_ab bench_fused_chi128 QMLTPU_FUSED_SPLIT=1 BENCH_CHI=128
 bench_ab bench_dm2_chi128 QMLTPU_SUBSPACE_ITERS=2 BENCH_CHI=128
 bench_ab bench_over8 QMLTPU_OVERSAMPLE=8
 bench_ab bench_over8_chi128 QMLTPU_OVERSAMPLE=8 BENCH_CHI=128

@@ -34,13 +34,14 @@ def test_host_resident_tiles_match_device_resident(monkeypatch):
 
 
 def test_chi_bucket_rules():
-    # Lane alignment, cap, and the small-chi no-op guarantee (warm-cache
-    # shapes must not change for existing chi <= 128 configs).
+    # 64-granularity, 128 floor, cap, and the small-chi no-op guarantee
+    # (warm-cache shapes must not change for existing chi <= 128 configs).
     assert _chi_bucket(1, 64) == 64
     assert _chi_bucket(77, 96) == 96
-    assert _chi_bucket(130, 512) == 256
-    assert _chi_bucket(300, 512) == 384
-    assert _chi_bucket(513, 1024) == 640
+    assert _chi_bucket(130, 512) == 192
+    assert _chi_bucket(192, 256) == 192
+    assert _chi_bucket(300, 512) == 320
+    assert _chi_bucket(513, 1024) == 576
     assert _chi_bucket(1000, 1024) == 1024
 
 
