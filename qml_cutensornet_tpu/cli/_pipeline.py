@@ -30,7 +30,7 @@ positional contract come from environment variables:
                        benched — see ops/pallas_split.py)
     QMLTPU_OVERSAMPLE  subspace oversampling p: iterate with chi+p basis
                        columns, keep the top-chi by weight (default 0;
-                       multiples of 8 keep the fused kernel eligible —
+                       keep chi+p a multiple of 16 for the fused kernel —
                        see SimConfig.oversample)
     QMLTPU_BRICK_CAPS  1 enables per-pair structural bond caps in the brick
                        engine (exact; edge pairs dispatch at sliced shapes

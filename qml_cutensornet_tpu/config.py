@@ -76,8 +76,8 @@ class SimConfig:
     # top-``keep`` by captured weight before masking. A wider iterate
     # captures weak directions near the truncation cut that a keep-width
     # subspace can rotate away from, sharpening fidelity at ~(1 +
-    # oversample/keep) extra cost in the factorization stage. Multiples of
-    # 8 keep the fused Pallas kernel eligible (panel alignment). Default 0
+    # oversample/keep) extra cost in the factorization stage. keep+oversample
+    # multiples of 16 keep the fused Pallas kernel eligible (PANEL=16). Default 0
     # (off) pending the on-chip fidelity-vs-time A/B (runs/perf_ab).
     oversample: int = 0
     # MXU accumulation precision for f32 data. TPUs default to bfloat16

@@ -45,11 +45,14 @@ bench_ab bench_fused_chi256 QMLTPU_FUSED_SPLIT=1 BENCH_CHI=256
 bench_ab bench_chi128 BENCH_CHI=128
 bench_ab bench_fused_chi128 QMLTPU_FUSED_SPLIT=1 BENCH_CHI=128
 bench_ab bench_dm2_chi128 QMLTPU_SUBSPACE_ITERS=2 BENCH_CHI=128
-bench_ab bench_over8 QMLTPU_OVERSAMPLE=8
-bench_ab bench_over8_chi128 QMLTPU_OVERSAMPLE=8 BENCH_CHI=128
+bench_ab bench_over16 QMLTPU_OVERSAMPLE=16
 bench_ab bench_over16_chi128 QMLTPU_OVERSAMPLE=16 BENCH_CHI=128
 bench_ab bench_brick_chi128 QMLTPU_ROUTING=brick BENCH_CHI=128
 bench_ab bench_brick_chi192 QMLTPU_ROUTING=brick BENCH_CHI=192
-bench_ab bench_fused_over8 QMLTPU_FUSED_SPLIT=1 QMLTPU_OVERSAMPLE=8
+bench_ab bench_fused_over16 QMLTPU_FUSED_SPLIT=1 QMLTPU_OVERSAMPLE=16
+# Large-chi precision knobs: compute-bound regime where 3-pass bf16 can
+# actually buy ~2x (at chi64 the phases are latency-bound and it bought 0).
+bench_ab bench_tp_chi256 QMLTPU_TILE_PRECISION=high BENCH_CHI=256
+bench_ab bench_pp_chi256 QMLTPU_POWER_PRECISION=high BENCH_CHI=256
 
 stage "FOLLOWUP COMPLETE"

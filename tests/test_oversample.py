@@ -119,6 +119,32 @@ def test_mask_zeroing_survives_gather():
     np.testing.assert_allclose(float(kf), 1.0, atol=1e-12)
 
 
+def test_fused_kernel_routes_oversampled_width():
+    """With keep+p panel-aligned (PANEL=16) the fused Pallas kernel carries
+    the widened iterate; interpret mode pins the real routing on CPU CI.
+    Fused and unfused must agree to f32 roundoff."""
+    rng = np.random.default_rng(11)
+    spectrum = [0.9**i for i in range(20)]
+    theta = _rand_theta(rng, 32, 32, spectrum)
+    th32 = Cpx(theta.re.astype(jnp.float32), theta.im.astype(jnp.float32))
+    keep, p = 16, 16  # nc = 32, multiple of PANEL=16
+    from qml_cutensornet_tpu.ops.pallas_split import fused_split_supported
+
+    assert fused_split_supported(32, 32, keep + p, jnp.float32, 1, interpret=True)
+    outs = {}
+    for fused in (False, True):
+        cfg = SimConfig(
+            chi=keep, precision="f32", svd_method="subspace",
+            subspace_iters=1, oversample=p, fused_split=fused,
+            fused_interpret=fused,
+        )
+        left, right, kf, rank = truncated_svd(th32, cfg, keep=keep)
+        outs[fused] = (_reconstruct(left, right), float(kf), int(rank))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=2e-5)
+    assert outs[True][1] == pytest.approx(outs[False][1], abs=1e-6)
+    assert outs[True][2] == outs[False][2]
+
+
 @pytest.mark.parametrize("p", [8])
 def test_engine_kernel_parity_with_oversample(p):
     """Full circuit + kernel entry through the engine with oversampling on,
