@@ -121,7 +121,12 @@ def main() -> None:
         # One power iteration is exact under exact rank and loses <1e-5
         # fidelity under the bench's mild truncation; ~25% faster.
         subspace_iters=int(os.environ.get("QMLTPU_SUBSPACE_ITERS", 1)),
-        oversample=int(os.environ.get("QMLTPU_OVERSAMPLE", 0)),
+        # Default p=16 at chi >= 128: measured FREE there (bench_over16_chi128
+        # vs bench_chi128: same wall, parity 5.8e-8 -> 1.1e-8); costs ~14%
+        # at chi 64 so it stays off below 128.
+        oversample=int(
+            os.environ.get("QMLTPU_OVERSAMPLE", 16 if chi >= 128 else 0)
+        ),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         # Default ON since the on-chip A/B (runs/perf_ab): chi64 2.64 s vs

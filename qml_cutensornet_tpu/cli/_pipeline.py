@@ -26,12 +26,14 @@ positional contract come from environment variables:
                        orthonormalizations and final factors stay at full
                        precision, see SimConfig.power_precision)
     QMLTPU_FUSED_SPLIT 1 enables the fused Pallas subspace-split + Q+R
-                       kernels (TPU f32, chi <= 128; default 0 until
-                       benched — see ops/pallas_split.py)
+                       kernels (TPU f32; default 1 since the on-chip A/B:
+                       chi64 2.85 -> 2.64 s, neutral at chi 128/256 —
+                       runs/perf_ab/; see ops/pallas_split.py)
     QMLTPU_OVERSAMPLE  subspace oversampling p: iterate with chi+p basis
-                       columns, keep the top-chi by weight (default 0;
-                       keep chi+p a multiple of 16 for the fused kernel —
-                       see SimConfig.oversample)
+                       columns, keep the top-chi by weight (default 16
+                       when chi >= 128 where the A/B measured it free,
+                       else 0; keep chi+p a multiple of 16 for the fused
+                       kernel — see SimConfig.oversample)
     QMLTPU_BRICK_CAPS  1 enables per-pair structural bond caps in the brick
                        engine (exact; edge pairs dispatch at sliced shapes
                        — see ops/vidal.structural_caps; default 0 until
@@ -154,7 +156,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         oversample=int(os.environ.get("QMLTPU_OVERSAMPLE", 0)),
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
-        fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "0") != "0",
+        fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "1") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     if chi_env == "auto":
@@ -181,7 +183,15 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         chi = int(chi_env)
     else:
         chi = default_chi(params.num_features)
-    return dataclasses.replace(base, chi=chi)
+    # Subspace oversampling default: ON (p=16) once chi >= 128, where the
+    # on-chip A/B measured it FREE (runs/perf_ab/bench_over16_chi128: same
+    # 7.40 s wall as without, parity 5.8e-8 -> 1.1e-8 — the split is
+    # dispatch-bound there so the extra columns ride along). At chi 64 the
+    # same knob costs ~14% wall (bench_over16), so it stays opt-in below
+    # 128. QMLTPU_OVERSAMPLE always wins when set.
+    over_env = os.environ.get("QMLTPU_OVERSAMPLE")
+    oversample = int(over_env) if over_env is not None else (16 if chi >= 128 else 0)
+    return dataclasses.replace(base, chi=chi, oversample=oversample)
 
 
 def engine_kwargs() -> dict:
