@@ -145,6 +145,34 @@ def _tile_ranges(n: int, tile: int):
     return [(s, min(n, s + tile)) for s in range(0, n, tile)]
 
 
+def _auto_tile(tile: int, chi: int, n: int, len_y: int, len_x: int) -> int:
+    """Clamp the requested tile so one tile dispatch fits HBM at large chi.
+
+    The tile scan's live set is two state blocks ``[tile, n, chi, 2, chi]``
+    (re+im) plus the ``M [tile, tile, chi, chi]`` carry — and XLA's
+    remat-with-compression pass materializes transposed carry copies whose
+    minor dims are the TILE axes, lane-padded to 128 (measured: tile=32 at
+    chi=512 allocates 2 x 4 GB padded carry copies on a 2 GB carry and
+    OOMs a 16 GB v5e next to the resident states — the crossover CPU-
+    criterion d10 failure, runs/crossover). Model both terms (padding
+    factor 128/tile on the carry copies) against ``QMLTPU_TILE_BYTES``
+    (default 8e9, leaving headroom for device-resident states under
+    QMLTPU_STATES_DEVICE_BYTES) and shrink the tile, never below 8. Small
+    chi never triggers the clamp, so the warm-program economics of padding
+    tiny datasets to one canonical tile shape are untouched there."""
+    budget = float(os.environ.get("QMLTPU_TILE_BYTES", "8e9"))
+    del len_y, len_x  # tile shapes are padded, not dataset-bound
+    t = tile
+    while t > 8:
+        pad = max(1, 128 // t)
+        carry = 4 * t * t * chi * chi * (2 * pad + 2)
+        blocks = 2 * (8 * t * n * 2 * chi * chi)
+        if carry + blocks <= budget:
+            break
+        t -= 8
+    return t
+
+
 def build_kernel_matrix(
     ansatz: KernelStateAnsatz,
     X,
@@ -256,6 +284,9 @@ def build_kernel_matrix(
     # compile service). Zero states give zero overlaps; the padded rows and
     # columns are sliced away before normalization.
     tiling_start = time.perf_counter()
+    tile = _auto_tile(
+        tile, max(ax.re.shape[2], ay.re.shape[2]), ax.re.shape[1], len_y, len_x
+    )
     len_y_pad = -(-len_y // tile) * tile
     len_x_pad = -(-len_x // tile) * tile
 
