@@ -318,6 +318,8 @@ def _make_chunked_stream_simulator(
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
+        os.environ.get("QMLTPU_QR_BLOCK_BYTES", ""),
+        os.environ.get("QMLTPU_FUSED_BLOCK_BYTES", ""),
     )
     cache_key = (cfg, chunk_len, mesh, staged, pallas_env)
     if cache_key in cache:
@@ -605,6 +607,8 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
+        os.environ.get("QMLTPU_QR_BLOCK_BYTES", ""),
+        os.environ.get("QMLTPU_FUSED_BLOCK_BYTES", ""),
     )
     cache_key = ("brick", cfg, layer_chunk, mesh, staged, pallas_env)
     if cache_key in cache:

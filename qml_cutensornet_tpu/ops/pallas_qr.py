@@ -190,11 +190,33 @@ def _batch_block(k: int, m: int) -> int:
     Peak scoped usage is ~2.7x the four [Bb, k, m] f32 in/out buffers
     (Mosaic stacks the HIGHEST-precision dot temporaries and the unrolled
     panel loop's intermediates) — measured: 9.4 MB of buffers OOMed at
-    25.5 MB scoped. Budget the buffers at ~5 MB. The batch dim is neither
-    lanes nor sublanes, so any block size is layout-legal."""
-    budget = 5 * 1024 * 1024
+    25.5 MB scoped under the 16 MB compiler default; the launches below
+    raise the ceiling to 100 MB, so ~35 MB of buffers is the hard edge.
+    Default the buffers to ~5 MB; ``QMLTPU_QR_BLOCK_BYTES`` raises it.
+    Grid blocks run sequentially and each replays the serial per-column
+    chain, so a bigger block divides the op's latency share; block size
+    groups independent batch elements only (numerics-neutral).
+    The batch dim is neither lanes nor sublanes, so any block size is
+    layout-legal."""
+    import os
+
+    budget = int(float(os.environ.get(
+        "QMLTPU_QR_BLOCK_BYTES", str(5 * 1024 * 1024)
+    )))
     bb = budget // (4 * k * m * 4)
-    return max(2, min(64, (bb // 2) * 2))
+    return max(2, min(128, (bb // 2) * 2))
+
+
+def rebalance_block(bb: int, B: int) -> int:
+    """Shrink a budget-sized block to the smallest even block that still
+    covers ``B`` in the same number of grid steps — grid steps set the
+    serial cost, so padding beyond ceil(B / n_blocks) is pure waste
+    (e.g. a 76-block for B=100 pads 52 dead elements; a 50-block runs the
+    same 2 steps)."""
+    bb = min(bb, max(2, B))
+    n_blocks = -(-B // bb)
+    per_block = -(-B // n_blocks)  # ceil: smallest block covering B in n_blocks
+    return max(2, -(-per_block // 2) * 2)  # round up to even
 
 
 @lru_cache(maxsize=32)
@@ -262,10 +284,14 @@ def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]
     B, m, k = v.re.shape
     # Budget must count the two extra [Bb, k, k] r-output blocks on top of
     # the four [Bb, k, m] in/out buffers _batch_block accounts for.
-    budget = 5 * 1024 * 1024
+    import os
+
+    budget = int(float(os.environ.get(
+        "QMLTPU_QR_BLOCK_BYTES", str(5 * 1024 * 1024)
+    )))
     per = 4 * (4 * k * m + 2 * k * k)
-    bb_r = max(2, min(64, (budget // per // 2) * 2))
-    bb = min(bb_r, _batch_block(k, m), max(2, B))
+    bb_r = max(2, min(128, (budget // per // 2) * 2))
+    bb = rebalance_block(min(bb_r, _batch_block(k, m)), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
@@ -311,7 +337,7 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     B, m, k = v.re.shape
     # Minimum block of 2: Mosaic cannot lower the per-column reductions for
     # 1-element batch vectors ("Unsupported output implicit dimension").
-    bb = min(_batch_block(k, m), max(2, B))
+    bb = rebalance_block(_batch_block(k, m), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))

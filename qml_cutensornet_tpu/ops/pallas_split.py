@@ -147,15 +147,28 @@ def _make_split_kernel(iters: int):
 
 
 def _batch_block(m: int, k: int, keep: int, iters: int) -> int:
-    """Largest batch block fitting the ~5 MB buffer budget (Mosaic's scoped
-    peak runs ~3x the block buffers; ceiling raised to 100 MB below).
-    Counts ALL per-element block buffers: theta in, q/r out, w scratch,
-    plus the iters>1 v scratch."""
+    """Largest batch block fitting the buffer budget (Mosaic's scoped peak
+    runs ~3x the block buffers; ceiling raised to 100 MB below). Counts
+    ALL per-element block buffers: theta in, q/r out, w scratch, plus the
+    iters>1 v scratch.
+
+    The grid's blocks run SEQUENTIALLY on the core, and each block replays
+    the full serial per-column orthonormalization chain — so a bigger
+    block divides the op's total serial-latency share (the suspected
+    small-chi bottleneck: ~512 dependent column steps per op at chi64
+    under the 5 MB default). Block size groups independent batch elements
+    only — it cannot change any element's numerics — so
+    ``QMLTPU_FUSED_BLOCK_BYTES`` is a pure perf knob for the on-chip A/B
+    (runs/perf_ab)."""
+    import os
+
     per = 4 * (2 * m * k + 2 * keep * m + 4 * keep * k)
     if iters > 1:
         per += 4 * 2 * keep * m
-    budget = 5 * 1024 * 1024
-    return max(2, min(64, (budget // per // 2) * 2))
+    budget = int(float(os.environ.get(
+        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
+    )))
+    return max(2, min(128, (budget // per // 2) * 2))
 
 
 @lru_cache(maxsize=32)
@@ -208,7 +221,9 @@ def subspace_factor_batched(
     spanning (an approximation of) the top-``keep`` left singular subspace
     and ``r = q^H theta``. Zero columns of ``q`` are exactly zero."""
     B, m, k = theta.re.shape
-    bb = min(_batch_block(m, k, keep, iters), max(2, B))
+    from qml_cutensornet_tpu.ops.pallas_qr import rebalance_block
+
+    bb = rebalance_block(_batch_block(m, k, keep, iters), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))

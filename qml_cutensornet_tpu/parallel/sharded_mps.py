@@ -196,6 +196,8 @@ def make_sharded_brick_simulator(
         os.environ.get("QMLTPU_PALLAS_QR", "1"),
         os.environ.get("QMLTPU_PALLAS_QR_MIN_M", ""),
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
+        os.environ.get("QMLTPU_QR_BLOCK_BYTES", ""),
+        os.environ.get("QMLTPU_FUSED_BLOCK_BYTES", ""),
     )
     cache_key = ("sharded_brick", cfg, layer_chunk, mesh, staged, pallas_env, gather)
     if cache_key in cache:
