@@ -40,3 +40,10 @@ bench_stage bench_blkfused25     1800 QMLTPU_FUSED_BLOCK_BYTES=25e6
 bench_stage bench_blk25_chi128   1800 QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6 BENCH_CHI=128
 
 log "BACKLOG H COMPLETE"
+
+# Appended while waiting: brick chi192 with raised block budgets — the
+# 219 s batch-e row is the blocked path's serial column scans at a
+# 1700-element batch split into 71 grid blocks under the 5 MB default.
+bench_stage bench_brick_chi192_blk25 2400 QMLTPU_ROUTING=brick BENCH_CHI=192 \
+    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+log "BACKLOG H (appended stages) COMPLETE"
