@@ -133,6 +133,9 @@ def main() -> None:
         # 2.85 s unfused at parity 5.9e-8 / fidelity 0.99996, and 5.2x on
         # sim at chi256; auto-falls back off the eligible range.
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "1") != "0",
+        # Phase 2 (theta build + gate application in-kernel): off pending
+        # the on-chip A/B (runs/perf_ab).
+        fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     sched = ansatz.schedule

@@ -27,8 +27,13 @@ positional contract come from environment variables:
                        precision, see SimConfig.power_precision)
     QMLTPU_FUSED_SPLIT 1 enables the fused Pallas subspace-split + Q+R
                        kernels (TPU f32; default 1 since the on-chip A/B:
-                       chi64 2.85 -> 2.64 s, neutral at chi 128/256 —
-                       runs/perf_ab/; see ops/pallas_split.py)
+                       chi64 2.85 -> 2.64 s, 2.4x at chi128, 3.9x at
+                       chi256 vs the unfused controls — runs/perf_ab/;
+                       see ops/pallas_split.py)
+    QMLTPU_FUSED_GATE  1 additionally builds theta and applies the two-site
+                       gate INSIDE the split kernel (phase 2 — theta never
+                       round-trips HBM; requires QMLTPU_FUSED_SPLIT;
+                       default 0 pending the on-chip A/B, runs/perf_ab)
     QMLTPU_OVERSAMPLE  subspace oversampling p: iterate with chi+p basis
                        columns, keep the top-chi by weight (default 16
                        when chi >= 128 where the A/B measured it free,
@@ -157,6 +162,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         power_precision=os.environ.get("QMLTPU_POWER_PRECISION", "inherit"),
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "1") != "0",
+        fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     if chi_env == "auto":

@@ -113,6 +113,12 @@ class SimConfig:
     # interpret mode so CPU CI can pin the real TPU routing end to end.
     fused_split: bool = False
     fused_interpret: bool = False
+    # Phase 2 of the fused split (ops/pallas_split._make_gate_split_kernel):
+    # ALSO build theta and apply the two-site gate inside the kernel, so
+    # theta never round-trips HBM and two XLA matmul dispatches per gate op
+    # disappear (~3.5 theta-sized HBM transfers saved per op). Requires
+    # fused_split; default off pending the on-chip A/B (runs/perf_ab).
+    fused_gate: bool = False
     # Per-pair STRUCTURAL bond caps in the brick engine (ops/vidal.py): a
     # bond j real-site bipartition (l left, r right) admits Schmidt rank at
     # most min(2^l, 2^r), so edge pairs can run their theta contractions and

@@ -30,6 +30,7 @@ from jax import lax
 from qml_cutensornet_tpu.config import SimConfig
 from qml_cutensornet_tpu.ops import cpx
 from qml_cutensornet_tpu.ops.cpx import Cpx
+from qml_cutensornet_tpu.ops import svd
 from qml_cutensornet_tpu.ops.svd import truncated_svd
 
 
@@ -100,6 +101,49 @@ def apply_2site(mps: MPS, site, u4: Cpx, cfg: SimConfig, direction=None) -> MPS:
     pair = cpx.tmap(lambda t: lax.dynamic_slice_in_dim(t, site, 2, axis=0), mps.tensors)
     a = cpx.tmap(lambda t: t[0], pair)
     b = cpx.tmap(lambda t: t[1], pair)
+
+    if svd.gate_split_eligible(cfg, chi):
+        # Phase-2 fused path: theta is built and gate-applied INSIDE the
+        # Pallas kernel (never materialized in HBM). Layout contract:
+        # left rows s-major, right cols t-major (svd.truncated_svd_gate).
+        is_left = (
+            jnp.asarray(direction == 1)
+            if direction is not None
+            else jnp.asarray(False)
+        )
+        left, right, kept_fraction, rank = svd.truncated_svd_gate(
+            a, b, u4, cfg, chi, is_left
+        )
+
+        def wb_n(left, right):
+            # left [(s al), keep] -> new_a [al, s, keep]
+            na = cpx.tmap(
+                lambda t: t.reshape(2, chi, chi).transpose(1, 0, 2), left
+            )
+            nb = cpx.tmap(lambda t: t.reshape(chi, 2, chi), right)
+            return na, nb
+
+        def wb_t(left, right):
+            # theta^T factors: left [(t be), keep], right [keep, (s al)].
+            # new_a = right^T reshaped; new_b = left^T reshaped.
+            na = cpx.tmap(
+                lambda t: t.reshape(chi, 2, chi).transpose(2, 1, 0), right
+            )
+            nb = cpx.tmap(lambda t: t.reshape(2, chi, chi).transpose(2, 0, 1), left)
+            return na, nb
+
+        new_a, new_b = lax.cond(is_left, wb_t, wb_n, left, right)
+        upd = cpx.stack([new_a, new_b], axis=0)
+        tensors = Cpx(
+            lax.dynamic_update_slice_in_dim(mps.tensors.re, upd.re, site, axis=0),
+            lax.dynamic_update_slice_in_dim(mps.tensors.im, upd.im, site, axis=0),
+        )
+        fidelity = mps.fidelity * kept_fraction.astype(mps.fidelity.dtype)
+        bond_dims = lax.dynamic_update_slice_in_dim(
+            mps.bond_dims, rank[None].astype(jnp.int32), site, axis=0
+        )
+        return MPS(tensors=tensors, fidelity=fidelity, bond_dims=bond_dims)
+
     theta = cpx.einsum("asb,btc->astc", a, b)  # [chi, 2, 2, chi]
     g = cpx.tmap(lambda t: t.reshape(2, 2, 2, 2), u4)
     theta = cpx.einsum("stuv,auvc->astc", g, theta)

@@ -96,52 +96,125 @@ def _cmul_dot(ar, ai, br, bi, dn, conj_a=False, conj_b=False):
     return re, im
 
 
-def _make_split_kernel(iters: int):
-    """Kernel body for ``iters`` power iterations, each a
+def _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
+                 qr_ref, qi_ref, rr_ref, ri_ref,
+                 wr_ref, wi_ref, v_scratch):
+    """The VMEM-resident subspace-split chain on theta VALUES ``thr, thi``
+    ``[B, m, k]`` — shared by the theta-input kernel and the fused
+    gate+theta-build kernel. ``iters`` power iterations, each a
     theta^H-multiply -> orth -> theta-multiply -> orth round trip (the
     inter-multiply orthonormalization is the iters==1 path's conditioning
     trick applied uniformly; for iters > 1 the unfused XLA branch instead
     forms h = theta theta^H and orthonormalizes once per h-multiply — the
     spans are identical in exact arithmetic, this form is the
     better-conditioned one at f32)."""
+    B, m, k = thr.shape
+
+    dn_v0 = (((1,), (1,)), ((0,), (0,)))   # [B,m,keep] x [B,m,k]
+    dn_rows = (((2,), (1,)), ((0,), (0,)))  # [B,keep,m] x [B,m,k]
+    dn_k = (((2,), (2,)), ((0,), (0,)))     # [B,keep,k] x [B,m,k]
+
+    vr = vi = None  # rows [B, keep, m] once set
+    for it in range(iters):
+        if it == 0:
+            keep = qr_ref.shape[1]
+            v0r = jnp.broadcast_to(v0r_ref[:][None], (B, m, keep))
+            v0i = jnp.broadcast_to(v0i_ref[:][None], (B, m, keep))
+            # w_rows = v0^T conj(theta): contract m -> [B, keep, k]
+            wr, wi = _cmul_dot(v0r, v0i, thr, thi, dn_v0, conj_b=True)
+        else:
+            # w_rows = v_rows conj(theta): contract m -> [B, keep, k]
+            wr, wi = _cmul_dot(vr, vi, thr, thi, dn_rows, conj_b=True)
+        orth_rows_body(wr, wi, wr_ref, wi_ref)
+
+        # v_rows = w_rows theta^T: contract k -> [B, keep, m]
+        vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
+        if it == iters - 1:
+            orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
+        else:
+            orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
+            vr = v_scratch[0][:]
+            vi = v_scratch[1][:]
+
+    # r = conj(q_rows) theta: contract m -> [B, keep, k]
+    rr, ri = _cmul_dot(qr_ref[:], qi_ref[:], thr, thi, dn_rows, conj_a=True)
+    rr_ref[:] = rr
+    ri_ref[:] = ri
+
+
+def _make_split_kernel(iters: int):
+    """Kernel body: theta given as an input ref (phase 1)."""
 
     def kernel(thr_ref, thi_ref, v0r_ref, v0i_ref,
                qr_ref, qi_ref, rr_ref, ri_ref,
                wr_ref, wi_ref, *v_scratch):
-        B, m, k = thr_ref.shape
+        _split_chain(iters, thr_ref[:], thi_ref[:], v0r_ref, v0i_ref,
+                     qr_ref, qi_ref, rr_ref, ri_ref,
+                     wr_ref, wi_ref, v_scratch)
+
+    return kernel
+
+
+def _make_gate_split_kernel(iters: int, chi: int):
+    """Kernel body: build theta IN-KERNEL from the two site tensors and the
+    per-element 4x4 gate, then run the split chain (phase 2 — saves the
+    theta0/theta HBM round trips AND the two XLA matmul dispatches per
+    two-site op; see ``gate_split_supported``).
+
+    Layouts (chosen so every quadrant is a CONTIGUOUS static slice):
+
+    - ``A [B, 2chi, chi]`` rows ``(s alpha)`` s-major: ``A[u*chi+al, b] =
+      a[al, u, b]`` (an XLA transpose of the site tensor, half a theta of
+      traffic — the only materialized prep).
+    - ``B [B, chi, 2chi]`` cols ``(t beta)`` t-major: a FREE reshape of the
+      right site tensor ``b [chi, 2, chi]``.
+    - ``theta0 = A @ B`` then has quadrant ``(u, v)`` at
+      ``[u*chi:(u+1)*chi, v*chi:(v+1)*chi]``, and the gate application
+      ``theta[(s al),(t be)] = sum_uv g[s,t,u,v] theta0[(u al),(v be)]``
+      is 16 broadcast scalar-times-matrix FMAs (VPU) over static slices.
+    - ``g [B, 4, 4]`` with ``g[2s+t, 2u+v]`` — exactly the engine's blended
+      ``u4`` matrix (models/simulate.apply_schedule_op), so ALL two-site
+      gate kinds (XX/SWAP/XXSW/ZZ) ride one kernel.
+
+    Also writes ``tot[B] = ||theta||_F^2`` (broadcast over an 8-lane ref) —
+    the downstream truncation mask needs the total squared weight and theta
+    never exists in HBM on this path.
+    """
+
+    def kernel(ar_ref, ai_ref, br_ref, bi_ref, gr_ref, gi_ref,
+               v0r_ref, v0i_ref,
+               qr_ref, qi_ref, rr_ref, ri_ref, tot_ref,
+               wr_ref, wi_ref, thr_ref, thi_ref, *v_scratch):
+        Bb = ar_ref.shape[0]
+        dn_ab = (((2,), (1,)), ((0,), (0,)))  # [B,2chi,chi] x [B,chi,2chi]
+        t0r, t0i = _cmul_dot(ar_ref[:], ai_ref[:], br_ref[:], bi_ref[:], dn_ab)
+
+        gr = gr_ref[:]
+        gi = gi_ref[:]
+        for s in range(2):
+            for t in range(2):
+                accr = acci = None
+                for u in range(2):
+                    for v in range(2):
+                        cr = gr[:, 2 * s + t, 2 * u + v][:, None, None]
+                        ci = gi[:, 2 * s + t, 2 * u + v][:, None, None]
+                        qr_uv = t0r[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
+                        qi_uv = t0i[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
+                        pr = cr * qr_uv - ci * qi_uv
+                        pi = cr * qi_uv + ci * qr_uv
+                        accr = pr if accr is None else accr + pr
+                        acci = pi if acci is None else acci + pi
+                thr_ref[:, s * chi:(s + 1) * chi, t * chi:(t + 1) * chi] = accr
+                thi_ref[:, s * chi:(s + 1) * chi, t * chi:(t + 1) * chi] = acci
+
         thr = thr_ref[:]
         thi = thi_ref[:]
+        tot = jnp.sum(thr * thr + thi * thi, axis=(1, 2))  # [Bb]
+        tot_ref[:] = jnp.broadcast_to(tot[:, None], (Bb, tot_ref.shape[1]))
 
-        dn_v0 = (((1,), (1,)), ((0,), (0,)))   # [B,m,keep] x [B,m,k]
-        dn_rows = (((2,), (1,)), ((0,), (0,)))  # [B,keep,m] x [B,m,k]
-        dn_k = (((2,), (2,)), ((0,), (0,)))     # [B,keep,k] x [B,m,k]
-
-        vr = vi = None  # rows [B, keep, m] once set
-        for it in range(iters):
-            if it == 0:
-                keep = qr_ref.shape[1]
-                v0r = jnp.broadcast_to(v0r_ref[:][None], (B, m, keep))
-                v0i = jnp.broadcast_to(v0i_ref[:][None], (B, m, keep))
-                # w_rows = v0^T conj(theta): contract m -> [B, keep, k]
-                wr, wi = _cmul_dot(v0r, v0i, thr, thi, dn_v0, conj_b=True)
-            else:
-                # w_rows = v_rows conj(theta): contract m -> [B, keep, k]
-                wr, wi = _cmul_dot(vr, vi, thr, thi, dn_rows, conj_b=True)
-            orth_rows_body(wr, wi, wr_ref, wi_ref)
-
-            # v_rows = w_rows theta^T: contract k -> [B, keep, m]
-            vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
-            if it == iters - 1:
-                orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
-            else:
-                orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
-                vr = v_scratch[0][:]
-                vi = v_scratch[1][:]
-
-        # r = conj(q_rows) theta: contract m -> [B, keep, k]
-        rr, ri = _cmul_dot(qr_ref[:], qi_ref[:], thr, thi, dn_rows, conj_a=True)
-        rr_ref[:] = rr
-        ri_ref[:] = ri
+        _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
+                     qr_ref, qi_ref, rr_ref, ri_ref,
+                     wr_ref, wi_ref, v_scratch)
 
     return kernel
 
@@ -277,3 +350,158 @@ def subspace_factor(
     fn = _get_split_single(iters, interpret)
     qre, qim, rre, rim = fn(theta.re, theta.im, v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim)
+
+
+# --------------------------------------------------------------------------
+# Phase 2: gate application + theta build fused into the same launch.
+# --------------------------------------------------------------------------
+
+_TOT_LANES = 8  # lanes of the ||theta||^2 output ref (value broadcast)
+
+
+def gate_split_supported(
+    chi: int, keep: int, dtype, iters: int = 1, interpret: bool = False
+) -> bool:
+    """Eligibility for the fused gate+theta-build split (phase 2): the
+    phase-1 constraints at ``m = k = 2*chi``, plus ``chi`` a multiple of 8
+    so the quadrant slices are sublane-aligned."""
+    if chi % 8 != 0:
+        return False
+    return fused_split_supported(2 * chi, 2 * chi, keep, dtype, iters, interpret)
+
+
+def _batch_block_gate(chi: int, keep: int, iters: int) -> int:
+    """Batch block for the gate variant under the same
+    ``QMLTPU_FUSED_BLOCK_BYTES`` budget (docs at :func:`_batch_block`).
+    Per-element block buffers: A+B in (8 chi^2 f32 words), theta scratch
+    (8 chi^2) plus the transient theta0 value (8 chi^2), q/r out and w
+    scratch (2 keep * 2chi each), gate (32) — the theta0 value is counted
+    like a buffer because Mosaic keeps it live across the gate combine."""
+    import os
+
+    m = k = 2 * chi
+    per = 4 * (24 * chi * chi + 2 * keep * m + 4 * keep * k + 32)
+    if iters > 1:
+        per += 4 * 2 * keep * m
+    budget = int(float(os.environ.get(
+        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
+    )))
+    return max(2, min(128, (budget // per // 2) * 2))
+
+
+@lru_cache(maxsize=32)
+def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
+                     interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = k = 2 * chi
+    a_spec = pl.BlockSpec((Bb, m, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((Bb, chi, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((Bb, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((Bb, _TOT_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    B = Bb * n_blocks
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    scratch = [
+        pltpu.VMEM((Bb, keep, k), jnp.float32),
+        pltpu.VMEM((Bb, keep, k), jnp.float32),
+        pltpu.VMEM((Bb, m, k), jnp.float32),
+        pltpu.VMEM((Bb, m, k), jnp.float32),
+    ]
+    if iters > 1:
+        scratch += [
+            pltpu.VMEM((Bb, keep, m), jnp.float32),
+            pltpu.VMEM((Bb, keep, m), jnp.float32),
+        ]
+    return pl.pallas_call(
+        _make_gate_split_kernel(iters, chi),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32),
+        ),
+        in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec,
+                  v0_spec, v0_spec],
+        out_specs=(q_spec, q_spec, r_spec, r_spec, t_spec),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def gate_split_factor_batched(
+    A: Cpx, B: Cpx, g: Cpx, v0: Cpx, keep: int, iters: int = 1,
+    interpret: bool = False,
+) -> tuple[Cpx, Cpx, jnp.ndarray]:
+    """Fused gate + theta build + subspace factorization. ``A [Bn, 2chi,
+    chi]`` (s-major rows), ``B [Bn, chi, 2chi]`` (t-major cols), ``g [Bn,
+    4, 4]`` the engine's blended two-site unitary. Returns ``(q [Bn, m,
+    keep], r [Bn, keep, k], total [Bn])`` with ``total = ||theta||_F^2``."""
+    Bn, m, chi = A.re.shape
+    from qml_cutensornet_tpu.ops.pallas_qr import rebalance_block
+
+    bb = rebalance_block(_batch_block_gate(chi, keep, iters), Bn)
+    n_blocks = -(-Bn // bb)
+    bpad = bb * n_blocks - Bn
+    pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
+    qr_, qi, rr, ri, tot = _build_gate_call(
+        bb, n_blocks, chi, keep, iters, interpret
+    )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
+      v0.re, v0.im)
+    q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
+    return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0]
+
+
+@lru_cache(maxsize=8)
+def _get_gate_split_single(iters: int, interpret: bool):
+    """custom_vmap wrapper per (static) iteration count / interpret mode."""
+
+    @jax.custom_batching.custom_vmap
+    def _gs_single(ar, ai, br, bi, gr, gi, v0r, v0i):
+        q, r, tot = gate_split_factor_batched(
+            Cpx(ar[None], ai[None]), Cpx(br[None], bi[None]),
+            Cpx(gr[None], gi[None]), Cpx(v0r, v0i), v0r.shape[1],
+            iters=iters, interpret=interpret,
+        )
+        return q.re[0], q.im[0], r.re[0], r.im[0], tot[0]
+
+    @_gs_single.def_vmap
+    def _gs_single_vmap(axis_size, in_batched, ar, ai, br, bi, gr, gi,
+                        v0r, v0i):
+        del axis_size
+        if not all(in_batched[:6]):  # pragma: no cover
+            raise NotImplementedError("gate split expects a, b, g batched")
+        if in_batched[6]:
+            v0r = v0r[0]
+        if in_batched[7]:
+            v0i = v0i[0]
+        q, r, tot = gate_split_factor_batched(
+            Cpx(ar, ai), Cpx(br, bi), Cpx(gr, gi), Cpx(v0r, v0i),
+            v0r.shape[1], iters=iters, interpret=interpret,
+        )
+        return (q.re, q.im, r.re, r.im, tot), (True,) * 5
+
+    return _gs_single
+
+
+def gate_subspace_factor(
+    A: Cpx, B: Cpx, g: Cpx, v0: Cpx, keep: int, iters: int = 1,
+    interpret: bool = False,
+) -> tuple[Cpx, Cpx, jnp.ndarray]:
+    """Unbatched/vmap-level entry for the fused gate split (same custom
+    batching contract as :func:`subspace_factor`)."""
+    assert v0.re.shape[1] == keep
+    fn = _get_gate_split_single(iters, interpret)
+    qre, qim, rre, rim, tot = fn(A.re, A.im, B.re, B.im, g.re, g.im,
+                                 v0.re, v0.im)
+    return Cpx(qre, qim), Cpx(rre, rim), tot

@@ -240,8 +240,19 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         q = v
         r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
 
-    s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
     total = jnp.sum(cpx.abs2(theta))
+    return _finish_subspace(q, r, total, cfg, keep, nc)
+
+
+def _finish_subspace(q: Cpx, r: Cpx, total, cfg: SimConfig, keep: int, nc: int):
+    """Shared tail of the subspace factorizations: recover squared singular
+    values from the right factor's row norms, gather the top-``keep`` when
+    oversampled, apply the truncation mask (sorted-threshold eps rule +
+    sv-ratio floor + value_of_zero), and scale the factors. ``total`` is
+    ``||theta||_F^2`` (computed in-kernel on the fused-gate path, where
+    theta never exists in HBM)."""
+    rdt = q.re.dtype
+    s2 = jnp.sum(cpx.abs2(r), axis=1)  # squared sv per kept direction
     if nc > keep:
         # Oversampled: gather the top-keep directions by captured weight.
         # (argsort is stable; ties resolve by index, deterministically.)
@@ -278,6 +289,76 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         right = cpx.scale(right, inv.astype(rdt))
     rank = jnp.sum(mask.astype(jnp.int32))
     return left, right, kept_fraction, rank
+
+
+def gate_split_eligible(cfg: SimConfig, chi: int) -> bool:
+    """Static routing decision for the fused gate+theta-build split (phase
+    2, ops/pallas_split). Mirrors the phase-1 gate in :func:`_split_subspace`
+    (full-precision configs only — the kernel pins HIGHEST dots) plus the
+    phase-2 shape constraints."""
+    if cfg.svd_method != "subspace" or not (cfg.fused_split and cfg.fused_gate):
+        return False
+    if cfg.matmul_precision not in ("highest", "float32"):
+        return False
+    if cfg.power_precision != "inherit":
+        return False
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    nc = chi + max(0, cfg.oversample)
+    return pallas_split.gate_split_supported(
+        chi, nc, cfg.real_dtype, max(1, cfg.subspace_iters),
+        interpret=cfg.fused_interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "keep"))
+def truncated_svd_gate(a: Cpx, b: Cpx, g: Cpx, cfg: SimConfig, keep: int,
+                       is_left):
+    """Fused two-site update factorization WITHOUT materializing theta:
+    builds ``theta = gate . (a x b)`` inside the Pallas kernel and returns
+    ``(left [2chi, keep], right [keep, 2chi], kept_fraction, rank)`` for
+    ``theta`` (``is_left`` false) or ``theta^T`` (``is_left`` true — the
+    DIR_L canonical-center placement, ops/mps.apply_2site).
+
+    LAYOUT CONTRACT (differs from :func:`truncated_svd` on the row side):
+    ``left`` rows are s-major — ``left[s*chi + al, :]`` is the (spin s,
+    bond al) component — because the in-kernel quadrant construction needs
+    contiguous spin blocks. ``right`` cols are t-major, same as the
+    a-major path. For ``is_left`` the roles read t-major rows / s-major
+    cols. Callers own the writeback reshapes (ops/mps.apply_2site).
+
+    The transposed case never transposes theta itself: feeding the kernel
+    ``A' = b^(t,be,b)-stack, B' = a^(b,u,al)-stack, g'[2t+s, 2v+u] =
+    g[2s+t, 2u+v]`` makes it compute theta^T exactly (plain transpose, no
+    conjugation — matching the unfused path's ``m.T``).
+    """
+    chi = a.re.shape[0]
+    perm = jnp.array([0, 2, 1, 3])
+
+    def make_n(a, b, g):
+        A = cpx.tmap(lambda t: t.transpose(1, 0, 2).reshape(2 * chi, chi), a)
+        B = cpx.tmap(lambda t: t.reshape(chi, 2 * chi), b)
+        return A, B, g
+
+    def make_t(a, b, g):
+        A = cpx.tmap(lambda t: t.transpose(1, 2, 0).reshape(2 * chi, chi), b)
+        B = cpx.tmap(lambda t: t.transpose(2, 1, 0).reshape(chi, 2 * chi), a)
+        g2 = cpx.tmap(lambda t: t[perm][:, perm], g)
+        return A, B, g2
+
+    A, B, g2 = lax.cond(is_left, make_t, make_n, a, b, g)
+
+    rdt = a.re.dtype
+    nc = keep + max(0, cfg.oversample)
+    v0re, v0im = _subspace_start(2 * chi, nc, np.dtype(rdt).name)
+    v0 = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
+    iters = max(1, cfg.subspace_iters)
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    q, r, total = pallas_split.gate_subspace_factor(
+        A, B, g2, v0, nc, iters, interpret=cfg.fused_interpret
+    )
+    return _finish_subspace(q, r, total, cfg, keep, nc)
 
 
 def _left_vectors_svd(theta: Cpx, ncand: int):
