@@ -122,3 +122,10 @@ def test_sharded_ring_with_fused_kernels(setup):
     mesh = make_mesh(4)
     K = build_kernel_matrix_sharded(ansatz, X[:12], cfg=fused, mesh=mesh)
     np.testing.assert_allclose(K, K_ref, atol=3e-5)
+
+    # Phase 2 (gate + theta build in-kernel) under the same ring.
+    gate = SimConfig(chi=16, precision="f32", svd_method="subspace",
+                     subspace_iters=1, fused_split=True, fused_gate=True,
+                     fused_interpret=True)
+    K2 = build_kernel_matrix_sharded(ansatz, X[:12], cfg=gate, mesh=mesh)
+    np.testing.assert_allclose(K2, K_ref, atol=3e-5)
