@@ -207,6 +207,28 @@ def _batch_block(k: int, m: int) -> int:
     return max(2, min(128, (bb // 2) * 2))
 
 
+def vma_of(x):
+    """Varying-manual-axes of a traced value, for pallas_call out_shapes.
+    Inside ``shard_map`` (the site-sharded engine, parallel/sharded_mps.py)
+    outputs must declare how they vary over the mesh axes; outside, None.
+    Returned as a (hashable) frozenset so the lru-cached launch builders
+    can key on it."""
+    try:
+        v = jax.typeof(x).vma
+    except Exception:  # pragma: no cover - non-traced numpy input
+        return None
+    return v if v else None
+
+
+def match_vma(x, vma):
+    """Promote a replicated value (e.g. the fixed subspace start block) to
+    the varying-manual-axes of the kernel's other inputs — inside
+    shard_map, mixing replicated and varying operands is an error."""
+    if not vma:
+        return x
+    return jax.lax.pcast(x, tuple(vma), to="varying")
+
+
 def rebalance_block(bb: int, B: int) -> int:
     """Shrink a budget-sized block to the smallest even block that still
     covers ``B`` in the same number of grid steps — grid steps set the
@@ -220,7 +242,8 @@ def rebalance_block(bb: int, B: int) -> int:
 
 
 @lru_cache(maxsize=32)
-def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
+def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
+                vma=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -238,8 +261,8 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
         _orth_kernel,
         grid=(n_blocks,),
         out_shape=(
-            jax.ShapeDtypeStruct((Bb * n_blocks, k, m), jnp.float32),
-            jax.ShapeDtypeStruct((Bb * n_blocks, k, m), jnp.float32),
+            jax.ShapeDtypeStruct((Bb * n_blocks, k, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((Bb * n_blocks, k, m), jnp.float32, vma=vma),
         ),
         in_specs=[spec, spec],
         out_specs=(spec, spec),
@@ -249,7 +272,8 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
 
 
 @lru_cache(maxsize=32)
-def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
+def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
+                  vma=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,10 +289,10 @@ def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool):
         _orth_r_kernel,
         grid=(n_blocks,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, k, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, k, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, k, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, k, k), jnp.float32, vma=vma),
         ),
         in_specs=[spec, spec],
         out_specs=(spec, spec, r_spec, r_spec),
@@ -295,7 +319,9 @@ def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
-    qr_, qi, rr, ri = _build_call_r(bb, n_blocks, k, m, interpret)(tr(v.re), tr(v.im))
+    qr_, qi, rr, ri = _build_call_r(
+        bb, n_blocks, k, m, interpret, vma_of(v.re)
+    )(tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi)), Cpx(rr[:B], ri[:B])
 
@@ -341,7 +367,8 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
-    qr_, qi = _build_call(bb, n_blocks, k, m, interpret)(tr(v.re), tr(v.im))
+    qr_, qi = _build_call(bb, n_blocks, k, m, interpret, vma_of(v.re))(
+        tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi))
 

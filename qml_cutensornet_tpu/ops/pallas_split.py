@@ -246,7 +246,7 @@ def _batch_block(m: int, k: int, keep: int, iters: int) -> int:
 
 @lru_cache(maxsize=32)
 def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
-                interpret: bool):
+                interpret: bool, vma=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -273,10 +273,10 @@ def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
         _make_split_kernel(iters),
         grid=(n_blocks,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
         ),
         in_specs=[th_spec, th_spec, v0_spec, v0_spec],
         out_specs=(q_spec, q_spec, r_spec, r_spec),
@@ -294,15 +294,18 @@ def subspace_factor_batched(
     spanning (an approximation of) the top-``keep`` left singular subspace
     and ``r = q^H theta``. Zero columns of ``q`` are exactly zero."""
     B, m, k = theta.re.shape
-    from qml_cutensornet_tpu.ops.pallas_qr import rebalance_block
+    from qml_cutensornet_tpu.ops.pallas_qr import (
+        match_vma, rebalance_block, vma_of)
 
     bb = rebalance_block(_batch_block(m, k, keep, iters), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
-    qr_, qi, rr, ri = _build_call(bb, n_blocks, m, k, keep, iters, interpret)(
-        pad(theta.re), pad(theta.im), v0.re, v0.im
-    )
+    vma = vma_of(theta.re)
+    qr_, qi, rr, ri = _build_call(
+        bb, n_blocks, m, k, keep, iters, interpret, vma
+    )(pad(theta.re), pad(theta.im),
+      match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:B], 1, 2), jnp.swapaxes(qi[:B], 1, 2))
     return q, Cpx(rr[:B], ri[:B])
 
@@ -391,7 +394,7 @@ def _batch_block_gate(chi: int, keep: int, iters: int) -> int:
 
 @lru_cache(maxsize=32)
 def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
-                     interpret: bool):
+                     interpret: bool, vma=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -424,11 +427,11 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
         _make_gate_split_kernel(iters, chi),
         grid=(n_blocks,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, m), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, keep, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32, vma=vma),
         ),
         in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec,
                   v0_spec, v0_spec],
@@ -454,10 +457,13 @@ def gate_split_factor_batched(
     n_blocks = -(-Bn // bb)
     bpad = bb * n_blocks - Bn
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
+    from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
+
+    vma = vma_of(A.re)
     qr_, qi, rr, ri, tot = _build_gate_call(
-        bb, n_blocks, chi, keep, iters, interpret
+        bb, n_blocks, chi, keep, iters, interpret, vma
     )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
-      v0.re, v0.im)
+      match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
     return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0]
 
@@ -505,3 +511,226 @@ def gate_subspace_factor(
     qre, qim, rre, rim, tot = fn(A.re, A.im, B.re, B.im, g.re, g.im,
                                  v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim), tot
+
+
+# --------------------------------------------------------------------------
+# Phase 2b: the BRICK (Vidal/Hastings) pair update fused end to end.
+# --------------------------------------------------------------------------
+
+
+def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
+    """Shared in-kernel theta construction: one batched complex matmul of
+    the (s-major, t-major) site-tensor stacks plus the 4x4 gate combine
+    over contiguous quadrant slices. Returns theta VALUES [B, 2chi, 2chi]."""
+    dn_ab = (((2,), (1,)), ((0,), (0,)))
+    t0r, t0i = _cmul_dot(ar, ai, br, bi, dn_ab)
+    B2 = ar.shape[0]
+    outr = []
+    outi = []
+    for s in range(2):
+        rowr = []
+        rowi = []
+        for t in range(2):
+            accr = acci = None
+            for u in range(2):
+                for v in range(2):
+                    cr = gr[:, 2 * s + t, 2 * u + v][:, None, None]
+                    ci = gi[:, 2 * s + t, 2 * u + v][:, None, None]
+                    qr_uv = t0r[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
+                    qi_uv = t0i[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
+                    pr = cr * qr_uv - ci * qi_uv
+                    pi = cr * qi_uv + ci * qr_uv
+                    accr = pr if accr is None else accr + pr
+                    acci = pi if acci is None else acci + pi
+            rowr.append(accr)
+            rowi.append(acci)
+        outr.append(jnp.concatenate(rowr, axis=2))
+        outi.append(jnp.concatenate(rowi, axis=2))
+    del B2
+    return jnp.concatenate(outr, axis=1), jnp.concatenate(outi, axis=1)
+
+
+def brick_split_supported(
+    chi: int, keep: int, dtype, iters: int = 1, interpret: bool = False
+) -> bool:
+    """Eligibility for the fused brick pair-update kernel: same envelope as
+    the phase-2 gate split (square [chi,2,chi] pair tensors only — the
+    structural-caps rectangles stay on the XLA path)."""
+    return gate_split_supported(chi, keep, dtype, iters, interpret)
+
+
+def _batch_block_brick(chi: int, keep: int, iters: int) -> int:
+    """Per-element block buffers: A+B in (8 chi^2 f32 words), theta_t and
+    theta_w values (8 chi^2 each) plus the transient theta0 (8 chi^2),
+    q/new_a0/w buffers (3 x 2*keep*2chi re+im), lambda + gate (tiny)."""
+    import os
+
+    m = 2 * chi
+    per = 4 * (32 * chi * chi + 12 * keep * m + chi + 32)
+    if iters > 1:
+        per += 4 * 2 * keep * m
+    budget = int(float(os.environ.get(
+        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
+    )))
+    return max(2, min(128, (budget // per // 2) * 2))
+
+
+def _make_brick_split_kernel(iters: int, chi: int):
+    """Fused Hastings pair update (ops/vidal.update_pairs semantics):
+
+        theta_t = G (a x b)                 (gate-applied, UNWEIGHTED)
+        theta_w = diag(lam_l twice) theta_t (the bond's Schmidt matrix)
+        V       = top right-singular row basis of theta_w   (rows layout)
+        new_a0  = theta_t V^H               (Hastings: no lambda inverse)
+
+    The right-subspace chain is the phase-1 left chain with the dot roles
+    swapped (theta^H's left subspace == theta's row space) — no in-kernel
+    transposes. Outputs, per element: ``q2 [keep, k]`` (rows storage of the
+    candidate basis Q; V = conj(Q rows)), ``na0 [keep, m]`` (rows storage of
+    theta_t Q), ``s2 [keep]`` (squared singular values of theta_w per
+    direction, = row norms^2 of Q^H theta_w^H), ``tot = ||theta_w||_F^2``.
+    Masking/oversample-gather happen downstream (ops/svd._finish_brick) —
+    they depend only on (s2, tot).
+    """
+
+    def kernel(ar_ref, ai_ref, br_ref, bi_ref, gr_ref, gi_ref, lam_ref,
+               v0r_ref, v0i_ref,
+               qr_ref, qi_ref, nar_ref, nai_ref, s2_ref, tot_ref,
+               wr_ref, wi_ref, *v_scratch):
+        Bb = ar_ref.shape[0]
+        keep = qr_ref.shape[1]
+        m = 2 * chi
+        ttr, tti = _build_theta_quadrants(
+            ar_ref[:], ai_ref[:], br_ref[:], bi_ref[:], gr_ref[:], gi_ref[:],
+            chi,
+        )
+        # Row weight: row (s al) s-major -> lam[al] for both s halves.
+        lam = lam_ref[:]
+        lam2 = jnp.concatenate([lam, lam], axis=1)[:, :, None]  # [Bb, 2chi, 1]
+        twr = ttr * lam2
+        twi = tti * lam2
+
+        tot = jnp.sum(twr * twr + twi * twi, axis=(1, 2))
+        tot_ref[:] = jnp.broadcast_to(tot[:, None], (Bb, tot_ref.shape[1]))
+
+        # Right-subspace chain on theta_w [B, m, k] (dot roles swapped
+        # vs _split_chain; storage is rows == plain transposes, no conj).
+        dn_v0 = (((1,), (2,)), ((0,), (0,)))    # [B,k,keep] x [B,m,k] -> [B,keep,m]
+        dn_rows_k = (((2,), (2,)), ((0,), (0,)))  # [B,keep,k] x [B,m,k] -> [B,keep,m]
+        dn_m = (((2,), (1,)), ((0,), (0,)))       # [B,keep,m] x [B,m,k] -> [B,keep,k]
+
+        qv = None  # q rows [B, keep, k] between iterations
+        for it in range(iters):
+            if it == 0:
+                v0r = jnp.broadcast_to(v0r_ref[:][None], (Bb, m, keep))
+                v0i = jnp.broadcast_to(v0i_ref[:][None], (Bb, m, keep))
+                # w_rows = (theta v0)^T: contract k -> [B, keep, m]
+                wr, wi = _cmul_dot(
+                    jnp.swapaxes(v0r, 1, 2), jnp.swapaxes(v0i, 1, 2),
+                    twr, twi, dn_rows_k,
+                )
+            else:
+                # w_rows = (theta q_cols)^T: contract k -> [B, keep, m]
+                wr, wi = _cmul_dot(qv[0], qv[1], twr, twi, dn_rows_k)
+            orth_rows_body(wr, wi, wr_ref, wi_ref)
+
+            # v_rows = (theta^H w)^T: contract m, conj theta -> [B, keep, k]
+            vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], twr, twi, dn_m,
+                                   conj_b=True)
+            if it == iters - 1:
+                orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
+            else:
+                orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
+                qv = (v_scratch[0][:], v_scratch[1][:])
+
+        q2r = qr_ref[:]
+        q2i = qi_ref[:]
+        # s2[j] = sum_m |(theta_w q_cols)[m, j]|^2 (conj-invariant).
+        pr, pi = _cmul_dot(q2r, q2i, twr, twi, dn_rows_k)
+        s2_ref[:] = jnp.sum(pr * pr + pi * pi, axis=2)
+        # new_a0 rows = (theta_t q_cols)^T = theta_t V^H transposed storage.
+        nar, nai = _cmul_dot(q2r, q2i, ttr, tti, dn_rows_k)
+        nar_ref[:] = nar
+        nai_ref[:] = nai
+
+    return kernel
+
+
+@lru_cache(maxsize=32)
+def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
+                      interpret: bool, vma=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = k = 2 * chi
+    a_spec = pl.BlockSpec((Bb, m, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((Bb, chi, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((Bb, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    l_spec = pl.BlockSpec((Bb, chi), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    na_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((Bb, keep), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((Bb, _TOT_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    B = Bb * n_blocks
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    scratch = [
+        pltpu.VMEM((Bb, keep, m), jnp.float32),
+        pltpu.VMEM((Bb, keep, m), jnp.float32),
+    ]
+    if iters > 1:
+        scratch += [
+            pltpu.VMEM((Bb, keep, k), jnp.float32),
+            pltpu.VMEM((Bb, keep, k), jnp.float32),
+        ]
+    return pl.pallas_call(
+        _make_brick_split_kernel(iters, chi),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, keep), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32, vma=vma),
+        ),
+        in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec, l_spec,
+                  v0_spec, v0_spec],
+        out_specs=(q_spec, q_spec, na_spec, na_spec, s2_spec, t_spec),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def brick_gate_split_batched(
+    A: Cpx, B: Cpx, g: Cpx, lam, v0: Cpx, keep: int, iters: int = 1,
+    interpret: bool = False,
+):
+    """Fused brick pair update over an explicit batch (no vmap wrapper —
+    ops/vidal.update_pairs owns the flattened [B*K] batch). ``A [Bn, 2chi,
+    chi]`` s-major, ``B [Bn, chi, 2chi]`` t-major, ``g [Bn, 4, 4]``,
+    ``lam [Bn, chi]``. Returns ``(q2 [Bn, keep, k] rows, na0 [Bn, keep, m]
+    rows, s2 [Bn, keep], total [Bn])``."""
+    Bn, m, chi = A.re.shape
+    from qml_cutensornet_tpu.ops.pallas_qr import rebalance_block
+
+    bb = rebalance_block(_batch_block_brick(chi, keep, iters), Bn)
+    n_blocks = -(-Bn // bb)
+    bpad = bb * n_blocks - Bn
+    pad3 = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
+    pad2 = lambda t: jnp.pad(t, ((0, bpad), (0, 0)))
+    from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
+
+    vma = vma_of(A.re)
+    q2r, q2i, nar, nai, s2, tot = _build_brick_call(
+        bb, n_blocks, chi, keep, iters, interpret, vma
+    )(pad3(A.re), pad3(A.im), pad3(B.re), pad3(B.im),
+      pad3(g.re), pad3(g.im), pad2(lam),
+      match_vma(v0.re, vma), match_vma(v0.im, vma))
+    return (Cpx(q2r[:Bn], q2i[:Bn]), Cpx(nar[:Bn], nai[:Bn]),
+            s2[:Bn], tot[:Bn, 0])

@@ -260,6 +260,23 @@ def _finish_subspace(q: Cpx, r: Cpx, total, cfg: SimConfig, keep: int, nc: int):
         q = Cpx(q.re[:, sel], q.im[:, sel])
         r = Cpx(r.re[sel, :], r.im[sel, :])
         s2 = s2[sel]
+    mask, kept_fraction = _mask_from_s2(s2, total, cfg, keep, rdt)
+
+    mf = mask.astype(rdt)
+    left = cpx.scale(q, mf[None, :])
+    right = cpx.scale(r, mf[:, None])
+    if cfg.renormalize:
+        inv = lax.rsqrt(jnp.where(kept_fraction > 0, kept_fraction, 1.0))
+        right = cpx.scale(right, inv.astype(rdt))
+    rank = jnp.sum(mask.astype(jnp.int32))
+    return left, right, kept_fraction, rank
+
+
+def _mask_from_s2(s2, total, cfg: SimConfig, keep: int, rdt):
+    """Truncation mask over the (post-gather) squared singular values
+    ``s2 [keep]``: sorted-threshold eps rule with unseen weight charged via
+    ``beyond = total - sum(s2)``, sv-ratio floor, value_of_zero floor.
+    Returns ``(mask [keep] bool, kept_fraction)``."""
     beyond = jnp.maximum(total - jnp.sum(s2), 0.0)
 
     s2_sorted = jnp.sort(s2)[::-1]
@@ -276,19 +293,11 @@ def _finish_subspace(q: Cpx, r: Cpx, total, cfg: SimConfig, keep: int, nc: int):
     mask = (s2 >= jnp.maximum(thresh, 0.0)) & (s2 > floor)
     if cfg.value_of_zero > 0.0:
         mask = mask & (jnp.sqrt(s2) > cfg.value_of_zero)
-
-    mf = mask.astype(rdt)
-    left = cpx.scale(q, mf[None, :])
-    right = cpx.scale(r, mf[:, None])
     kept = jnp.sum(jnp.where(mask, s2, 0.0))
     kept_fraction = jnp.minimum(
         jnp.where(total > 0, kept / jnp.where(total > 0, total, 1.0), 1.0), 1.0
     )
-    if cfg.renormalize:
-        inv = lax.rsqrt(jnp.where(kept_fraction > 0, kept_fraction, 1.0))
-        right = cpx.scale(right, inv.astype(rdt))
-    rank = jnp.sum(mask.astype(jnp.int32))
-    return left, right, kept_fraction, rank
+    return mask, kept_fraction
 
 
 def gate_split_eligible(cfg: SimConfig, chi: int) -> bool:
@@ -359,6 +368,81 @@ def truncated_svd_gate(a: Cpx, b: Cpx, g: Cpx, cfg: SimConfig, keep: int,
         A, B, g2, v0, nc, iters, interpret=cfg.fused_interpret
     )
     return _finish_subspace(q, r, total, cfg, keep, nc)
+
+
+def brick_split_eligible(cfg: SimConfig, cl: int, cm: int, cr: int) -> bool:
+    """Static routing decision for the fused brick pair update (phase 2b,
+    ops/pallas_split._make_brick_split_kernel). Square pair tensors only
+    (structural-caps rectangles stay on the XLA path); renormalize must be
+    off (the engine default — truncated_split_right's own assumption)."""
+    if cl != cm or cm != cr or cfg.renormalize:
+        return False
+    if cfg.svd_method != "subspace" or not (cfg.fused_split and cfg.fused_gate):
+        return False
+    if cfg.matmul_precision not in ("highest", "float32"):
+        return False
+    if cfg.power_precision != "inherit":
+        return False
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    nc = cm + max(0, cfg.oversample)
+    return pallas_split.brick_split_supported(
+        cm, nc, cfg.real_dtype, max(1, cfg.subspace_iters),
+        interpret=cfg.fused_interpret,
+    )
+
+
+def fused_brick_update(a: Cpx, b: Cpx, g4: Cpx, lam, cfg: SimConfig,
+                       keep: int):
+    """Fused Hastings pair update (ops/vidal.update_pairs semantics) over a
+    flat batch: ``a [Bn, chi, 2, chi]``, ``b [Bn, chi, 2, chi]``, ``g4
+    [Bn, 4, 4]`` blended two-site unitaries, ``lam [Bn, chi]`` left-bond
+    Schmidt weights. Builds theta, gate-applies, lambda-weights, extracts
+    the top right-singular row basis V of the WEIGHTED theta and forms
+    ``new_a = theta_t V^H`` — all inside one Pallas launch per batch block
+    (theta never exists in HBM). Returns ``(new_a [Bn, chi, 2, keep],
+    new_b [Bn, keep, 2, chi], s [Bn, keep], kept_fraction [Bn],
+    rank [Bn])`` matching the XLA path's contract exactly."""
+    Bn, chi = a.re.shape[0], a.re.shape[1]
+    rdt = a.re.dtype
+    A = cpx.tmap(lambda t: t.transpose(0, 2, 1, 3).reshape(Bn, 2 * chi, chi), a)
+    Bm = cpx.tmap(lambda t: t.reshape(Bn, chi, 2 * chi), b)
+
+    nc = keep + max(0, cfg.oversample)
+    v0re, v0im = _subspace_start(2 * chi, nc, np.dtype(rdt).name)
+    v0 = Cpx(jnp.asarray(v0re), jnp.asarray(v0im))
+    iters = max(1, cfg.subspace_iters)
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    q2, na0, s2, total = pallas_split.brick_gate_split_batched(
+        A, Bm, g4, lam, v0, nc, iters, interpret=cfg.fused_interpret
+    )
+
+    def fin(q2re, q2im, nare, naim, s2e, tote):
+        if nc > keep:
+            sel = jnp.argsort(-s2e)[:keep]
+            q2re, q2im = q2re[sel], q2im[sel]
+            nare, naim = nare[sel], naim[sel]
+            s2e = s2e[sel]
+        mask, kf = _mask_from_s2(s2e, tote, cfg, keep, rdt)
+        mf = mask.astype(rdt)[:, None]
+        # V = conj(Q rows); mask rows of V == mask columns of new_a.
+        vre, vim = q2re * mf, -q2im * mf
+        nare, naim = nare * mf, naim * mf
+        s = jnp.sqrt(s2e) * mask.astype(rdt)
+        return vre, vim, nare, naim, s, kf, jnp.sum(mask.astype(jnp.int32))
+
+    vre, vim, nare, naim, s, kf, rank = jax.vmap(fin)(
+        q2.re, q2.im, na0.re, na0.im, s2, total
+    )
+    # na0 rows [keep, (s al)] are new_a's columns: -> [chi(al), 2(s), keep].
+    new_a = Cpx(
+        nare.reshape(Bn, keep, 2, chi).transpose(0, 3, 2, 1),
+        naim.reshape(Bn, keep, 2, chi).transpose(0, 3, 2, 1),
+    )
+    # V rows [keep, (t be)] t-major -> new_b [keep, 2, chi].
+    new_b = Cpx(vre.reshape(Bn, keep, 2, chi), vim.reshape(Bn, keep, 2, chi))
+    return new_a, new_b, s, kf, rank
 
 
 def _left_vectors_svd(theta: Cpx, ncand: int):

@@ -58,6 +58,7 @@ from jax import lax
 from qml_cutensornet_tpu.config import SimConfig
 from qml_cutensornet_tpu.ops import cpx, gates
 from qml_cutensornet_tpu.ops.cpx import Cpx
+from qml_cutensornet_tpu.ops import svd as svd_mod
 from qml_cutensornet_tpu.ops.svd import truncated_split_right
 
 
@@ -233,6 +234,26 @@ def update_pairs(a: Cpx, b: Cpx, lam_l, thetas, swap_w, cfg: SimConfig):
         swap_w * fu.re + (1.0 - swap_w) * xx.re,
         swap_w * fu.im + (1.0 - swap_w) * xx.im,
     )
+
+    if svd_mod.brick_split_eligible(cfg, cl, cm, cr):
+        # Phase-2b fused path: theta build + gate + lambda weight + right
+        # split + Hastings new_a all inside one Pallas launch per block —
+        # the three theta-sized intermediates below never exist in HBM
+        # (ops/pallas_split._make_brick_split_kernel).
+        flat4 = lambda x: x.reshape(B * K, *x.shape[2:])
+        new_a, new_b, s, kf, rank = svd_mod.fused_brick_update(
+            cpx.tmap(flat4, a), cpx.tmap(flat4, b), cpx.tmap(flat4, g),
+            flat4(lam_l), cfg, cm,
+        )
+        unflat = lambda x: x.reshape(B, K, *x.shape[1:])
+        return (
+            cpx.tmap(unflat, new_a),
+            cpx.tmap(unflat, new_b),
+            s.reshape(B, K, cm),
+            kf.reshape(B, K),
+            rank.reshape(B, K),
+        )
+
     g = cpx.tmap(lambda m: m.reshape(B, K, 2, 2, 2, 2), g)
     theta0 = cpx.einsum("bkasc,bkctd->bkastd", a, b)
     theta_t = cpx.einsum("bkstuv,bkauvc->bkastc", g, theta0)  # gate applied

@@ -291,6 +291,11 @@ def make_sharded_brick_simulator(
                 P(None, bp, axis),  # ths [C, B, K_s]
             ),
             out_specs=(Cpx(P(bp, axis), P(bp, axis)), P(bp, axis), P(bp, axis), P(axis, bp)),
+            # Pallas interpret mode under checked shard_map trips a JAX
+            # vma-tracking limitation inside the HLO interpreter (its own
+            # error message prescribes this workaround); out_specs above
+            # are explicit and pinned by tests/test_sharded_mps.py.
+            check_vma=False,
         )
 
         def chunk_batch(state, pars, sws, acts, ths):

@@ -61,3 +61,37 @@ bench_stage bench_gate_blk25_chi128 1800 QMLTPU_FUSED_GATE=1 BENCH_CHI=128 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
 log "BACKLOG I COMPLETE"
+
+# Appended while batch i waits: phase-2b (fused brick pair update) A/B.
+# 32q bench control = bench_brick_chi128 (16.13 s, batch d); nf=100 d6
+# control = brick_caps0_chi128 (2.26 s/circ, batch c).
+bench_stage bench_gatebrick_chi128 2400 QMLTPU_ROUTING=brick \
+    QMLTPU_FUSED_GATE=1 BENCH_CHI=128
+
+brick_gate_ab() { # <tag> <extra envs...>
+    local tag="$1"; shift
+    [ -s "runs/perf_ab/$tag.json" ] && { log "skip $tag"; return 0; }
+    log "brick gate A/B $tag"
+    local envs=(QMLTPU_ROUTING=brick QMLTPU_CHI=128 QMLTPU_SIM_BATCH=10 "$@")
+    timeout 3600 env "${envs[@]}" python -m qml_cutensornet_tpu.cli.main_no_test \
+        TPU 100 2 1.0 6 5 5 5 elliptic_preproc.csv \
+        > "$SD/$tag.prewarm.out" 2>&1 || { log "FAILED $tag prewarm"; return 0; }
+    rm -f train_Nf*.json kernels/train_Nf*.npy train_Nf*.npy 2>/dev/null
+    timeout 1800 env "${envs[@]}" python -m qml_cutensornet_tpu.cli.main_no_test \
+        TPU 100 2 1.0 6 5 5 5 elliptic_preproc.csv \
+        > "$SD/$tag.out" 2>&1 || { log "FAILED $tag record"; return 0; }
+    for j in train_Nf*.json; do
+        [ -f "$j" ] && mv "$j" "runs/perf_ab/$tag.json"
+    done
+    rm -f kernels/train_Nf*.npy train_Nf*.npy 2>/dev/null
+    python - "$tag" >> "$LOG" <<'PYEOF'
+import json, sys
+rec = json.load(open(f"runs/perf_ab/{sys.argv[1]}.json"))
+print(sys.argv[1], {k: rec.get(k) for k in ("avg_circ_sim", "median_circ_sim", "ave max chi x", "avg_fidelity")})
+PYEOF
+}
+brick_gate_ab brick_gate1_chi128 QMLTPU_FUSED_GATE=1
+brick_gate_ab brick_gate1_blk25_chi128 QMLTPU_FUSED_GATE=1 \
+    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+
+log "BACKLOG I (appended phase-2b stages) COMPLETE"

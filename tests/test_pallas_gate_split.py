@@ -18,6 +18,7 @@ degenerate Schmidt clusters cannot flake the test.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from qml_cutensornet_tpu.config import SimConfig
@@ -137,6 +138,87 @@ def test_degenerate_spectrum_reconstructs(direction):
     np.testing.assert_allclose(_pair_wavefn(out, 1), before, atol=3e-6)
 
 
+@pytest.mark.parametrize("swap_w", [0.0, 1.0])
+@pytest.mark.parametrize("iters,oversample", [(1, 0), (2, 16)])
+def test_brick_update_pairs_matches_xla(swap_w, iters, oversample):
+    """Phase 2b: the fused brick pair update (theta build + gate + lambda
+    weight + right split + Hastings new_a in one launch) must match the
+    XLA update_pairs on the contracted pair product (gauge-invariant),
+    the Schmidt weights, kept fraction, and rank."""
+    from qml_cutensornet_tpu.ops import vidal
+
+    rng = np.random.default_rng(12)
+    B, K, chi, rank = 2, 3, CHI, 5
+
+    def mk(shape, r):
+        t = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        t[..., r:, :, :] = 0.0
+        t[..., :, :, r:] = 0.0
+        t /= np.abs(t).max()
+        return Cpx(jnp.asarray(t.real, jnp.float32), jnp.asarray(t.imag, jnp.float32))
+
+    a = mk((B, K, chi, 2, chi), rank)
+    b = mk((B, K, chi, 2, chi), rank)
+    lam = np.zeros((B, K, chi), np.float32)
+    lam[..., :rank] = rng.uniform(0.3, 1.0, size=(B, K, rank))
+    lam = jnp.asarray(lam)
+    thetas = jnp.asarray(rng.uniform(-1.0, 1.0, size=(B, K)), jnp.float32)
+    sw = jnp.asarray(swap_w, jnp.float32)
+
+    outs = {}
+    for tag, fused in (("gate", True), ("plain", False)):
+        cfg = _cfg(fused, subspace_iters=iters, oversample=oversample)
+        na, nb, s, kf, rk = vidal.update_pairs(a, b, lam, thetas, sw, cfg)
+        prod = np.einsum(
+            "bkasc,bkctd->bkastd",
+            np.asarray(na.re) + 1j * np.asarray(na.im),
+            np.asarray(nb.re) + 1j * np.asarray(nb.im),
+        )
+        outs[tag] = (prod, np.asarray(s), np.asarray(kf), np.asarray(rk))
+
+    np.testing.assert_allclose(outs["gate"][0], outs["plain"][0], atol=3e-5)
+    np.testing.assert_allclose(
+        np.sort(outs["gate"][1], axis=-1), np.sort(outs["plain"][1], axis=-1),
+        atol=3e-5,
+    )
+    np.testing.assert_allclose(outs["gate"][2], outs["plain"][2], atol=1e-5)
+    np.testing.assert_array_equal(outs["gate"][3], outs["plain"][3])
+
+
+def test_brick_engine_end_to_end(monkeypatch):
+    """Brick-routed Gram through the real engine with fused_gate on,
+    pinned against the plain brick engine; counter asserts the phase-2b
+    kernel ran."""
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.ops import pallas_split
+
+    monkeypatch.setenv("QMLTPU_STAGED", "0")
+    # Another test with an equal SimConfig may already have traced this
+    # engine path; call counters only fire at trace time.
+    jax.clear_caches()
+    calls = {"brick": 0}
+    real = pallas_split.brick_gate_split_batched
+
+    def counting(*a, **k):
+        calls["brick"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_split, "brick_gate_split_batched", counting)
+
+    nq = 8
+    rng = np.random.default_rng(13)
+    X = rng.uniform(0.0, 2.0, size=(3, nq))
+    ansatz = KernelStateAnsatz(nq, 1, 1.0, entanglement_graph(nq, 2),
+                               routing="brick")
+    k_gate = build_kernel_matrix(ansatz, X, cfg=_cfg(True), sim_batch=3, tile=3)
+    assert calls["brick"] > 0, "phase-2b brick kernel never engaged"
+
+    k_plain = build_kernel_matrix(ansatz, X, cfg=_cfg(False), sim_batch=3, tile=3)
+    np.testing.assert_allclose(k_gate, k_plain, atol=3e-5)
+
+
 @pytest.mark.parametrize("iters,oversample", [(1, 0), (2, 0), (1, 16)])
 def test_end_to_end_gram_via_engine(monkeypatch, iters, oversample):
     """Drive the real engine routing (simulate + gram) with fused_gate on
@@ -148,6 +230,9 @@ def test_end_to_end_gram_via_engine(monkeypatch, iters, oversample):
     from qml_cutensornet_tpu.ops import pallas_split
 
     monkeypatch.setenv("QMLTPU_STAGED", "0")
+    # Another test with an equal SimConfig may already have traced this
+    # engine path; call counters only fire at trace time.
+    jax.clear_caches()
     calls = {"gate": 0}
     real = pallas_split.gate_subspace_factor
 

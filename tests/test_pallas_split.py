@@ -12,6 +12,7 @@ invariants (zero rows/columns of theta never produce junk)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from qml_cutensornet_tpu.ops.cpx import Cpx
@@ -155,6 +156,9 @@ def test_end_to_end_gram_via_svd_routing(monkeypatch, iters):
     # ramp-up stages at keep < 16, below the kernel's PANEL alignment.
     monkeypatch.setenv("QMLTPU_STAGED", "0")
 
+    # Another test with an equal SimConfig may already have traced this
+    # engine path; call counters only fire at trace time.
+    jax.clear_caches()
     calls = {"split": 0, "qr_r": 0}
     real_split = pallas_split.subspace_factor
     real_qr_r = pallas_qr.qr_with_r_pallas
@@ -204,6 +208,9 @@ def test_brick_engine_with_fused_kernels(monkeypatch):
     from qml_cutensornet_tpu.ops import pallas_split
 
     monkeypatch.setenv("QMLTPU_STAGED", "0")
+    # Another test with an equal SimConfig may already have traced this
+    # engine path; call counters only fire at trace time.
+    jax.clear_caches()
     calls = {"split": 0}
     real_split = pallas_split.subspace_factor
 

@@ -68,6 +68,39 @@ def test_sharded_matches_whole_chain(n, reps, d, ndev, chi):
         )
 
 
+def test_sharded_fused_gate_matches_whole_chain():
+    """The phase-2b fused brick pair update (cfg.fused_gate, interpret
+    mode) must compose with the site-sharded engine's shard_map: the pair
+    kernel runs per-shard on the local block + halo. Pinned against the
+    PLAIN whole-chain engine (different summation order, shared algorithm)."""
+    rng = np.random.default_rng(17)
+    n, reps, d, ndev, chi = 10, 2, 2, 4, 16
+    emap = entanglement_graph(n, d)
+    ansatz = KernelStateAnsatz(n, reps, 1.0, emap, routing="brick")
+    X = rng.uniform(0, 2, size=(3, n))
+    plain = SimConfig(
+        chi=chi, truncation_error=1e-16, precision="f32",
+        svd_method="subspace", subspace_iters=1,
+    )
+    fused = SimConfig(
+        chi=chi, truncation_error=1e-16, precision="f32",
+        svd_method="subspace", subspace_iters=1,
+        fused_split=True, fused_gate=True, fused_interpret=True,
+    )
+    st1 = make_chunked_simulator(ansatz.schedule, plain)(X)
+    mesh = make_mesh(ndev, axis="sp")
+    st2 = make_sharded_brick_simulator(ansatz.schedule, fused, mesh)(X)
+    np.testing.assert_array_equal(
+        np.asarray(st1.bond_dims), np.asarray(st2.bond_dims)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.fidelity), np.asarray(st2.fidelity), rtol=1e-5
+    )
+    # Raw tensors differ by basis rotations inside near-degenerate Schmidt
+    # clusters (gauge); the kernel is the gauge-invariant observable.
+    np.testing.assert_allclose(_kernel_from(st1), _kernel_from(st2), atol=3e-5)
+
+
 def test_sharded_f64_exact_vs_whole_chain():
     """At f64 the two engines agree to near machine precision, and the
     normalized kernel from the sharded states matches the whole-chain one."""
