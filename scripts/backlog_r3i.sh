@@ -1,13 +1,20 @@
 #!/usr/bin/env bash
-# Round-3 on-chip backlog, batch i (waits for batch h):
-#   1. mem_evol d12 retries for any x in 0..7 still missing — the batch-e
-#      failures (x=2, likely x=4/6) were backend-level RESOURCE_EXHAUSTED
-#      right after a successful run exited, i.e. the tunnel had not
-#      released the previous process's HBM yet; a 90 s settle delay
-#      between attempts is the fix under test.
-#   2. Phase-2 fused gate+theta-build split A/B (QMLTPU_FUSED_GATE): alone
-#      and combined with the raised Pallas block budgets from batch h, at
-#      chi 64 and 128 (the kernel's eligible range).
+# Round-3 on-chip backlog, batch i (waits for batch h) — REVISED after the
+# batch-h budget stages timed out: a fresh-shape Pallas compile through
+# the AOT tunnel measured 367 s (probe, 16:02), so any knob that changes
+# EVERY kernel's block size (QMLTPU_*_BLOCK_BYTES) forces a full-engine
+# recompile that cannot fit a 1800 s timeout. This batch:
+#   1. mem_evol d12 retries for any x in 0..7 still missing (90 s settle
+#      delay between attempts — the batch-e failures were the tunnel not
+#      releasing the previous process's HBM yet).
+#   2. Phase-2 fused gate split A/B (QMLTPU_FUSED_GATE) at chi 64/128,
+#      tracked engine, timeout 3600 (all-new kernel shapes compile once,
+#      then the persistent cache makes reruns warm).
+#   3. Phase-2b fused brick pair update A/B at chi128 (32q bench + the
+#      nf=100 d6 flagship config).
+#   4. ONE long-timeout budget stage: brick chi192 under 25e6 budgets —
+#      the motivating pathology (219 s from 71 grid blocks x serial
+#      column scans); timeout 7200 absorbs the one-time recompile.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -20,7 +27,7 @@ if [ -f /tmp/backlog_h.pid ]; then
     log "waiting for batch h (pid $(cat /tmp/backlog_h.pid))"
     tail --pid="$(cat /tmp/backlog_h.pid)" -f /dev/null 2>/dev/null
 fi
-log "batch h done; starting batch i"
+log "batch h done; starting batch i (revised)"
 
 # --- 1. mem_evol d12 retries (missing x only, settle delay between) -----
 for x in 0 1 2 3 4 5 6 7; do
@@ -38,9 +45,10 @@ for x in 0 1 2 3 4 5 6 7; do
     fi
 done
 
-# --- 2. phase-2 fused gate split A/B ------------------------------------
+# --- 2./3. phase-2 and 2b fused gate A/B --------------------------------
 bench_stage() { # name timeout env...
     local name=$1 tmo=$2; shift 2
+    [ -s "runs/perf_ab/$name.json" ] && { log "skip $name (banked)"; return 0; }
     log "bench $name ($*)"
     if timeout "$tmo" env "$@" python bench.py \
         > "$SD/$name.out" 2> "$SD/$name.err"; then
@@ -53,27 +61,18 @@ bench_stage() { # name timeout env...
     fi
 }
 
-bench_stage bench_gate_chi64        1800 QMLTPU_FUSED_GATE=1
-bench_stage bench_gate_blk25        1800 QMLTPU_FUSED_GATE=1 \
-    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
-bench_stage bench_gate_chi128       1800 QMLTPU_FUSED_GATE=1 BENCH_CHI=128
-bench_stage bench_gate_blk25_chi128 1800 QMLTPU_FUSED_GATE=1 BENCH_CHI=128 \
-    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
-
-log "BACKLOG I COMPLETE"
-
-# Appended while batch i waits: phase-2b (fused brick pair update) A/B.
-# 32q bench control = bench_brick_chi128 (16.13 s, batch d); nf=100 d6
-# control = brick_caps0_chi128 (2.26 s/circ, batch c).
-bench_stage bench_gatebrick_chi128 2400 QMLTPU_ROUTING=brick \
+bench_stage bench_gate_chi64       3600 QMLTPU_FUSED_GATE=1
+bench_stage bench_gate_chi128      3600 QMLTPU_FUSED_GATE=1 BENCH_CHI=128
+bench_stage bench_gatebrick_chi128 3600 QMLTPU_ROUTING=brick \
     QMLTPU_FUSED_GATE=1 BENCH_CHI=128
 
+# nf=100 d6 flagship config (control: brick_caps0_chi128 = 2.26 s/circ).
 brick_gate_ab() { # <tag> <extra envs...>
     local tag="$1"; shift
     [ -s "runs/perf_ab/$tag.json" ] && { log "skip $tag"; return 0; }
     log "brick gate A/B $tag"
     local envs=(QMLTPU_ROUTING=brick QMLTPU_CHI=128 QMLTPU_SIM_BATCH=10 "$@")
-    timeout 3600 env "${envs[@]}" python -m qml_cutensornet_tpu.cli.main_no_test \
+    timeout 4800 env "${envs[@]}" python -m qml_cutensornet_tpu.cli.main_no_test \
         TPU 100 2 1.0 6 5 5 5 elliptic_preproc.csv \
         > "$SD/$tag.prewarm.out" 2>&1 || { log "FAILED $tag prewarm"; return 0; }
     rm -f train_Nf*.json kernels/train_Nf*.npy train_Nf*.npy 2>/dev/null
@@ -91,7 +90,9 @@ print(sys.argv[1], {k: rec.get(k) for k in ("avg_circ_sim", "median_circ_sim", "
 PYEOF
 }
 brick_gate_ab brick_gate1_chi128 QMLTPU_FUSED_GATE=1
-brick_gate_ab brick_gate1_blk25_chi128 QMLTPU_FUSED_GATE=1 \
+
+# --- 4. the one budget stage that answers the chi192 pathology ----------
+bench_stage bench_brick192_blk25 7200 QMLTPU_ROUTING=brick BENCH_CHI=192 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
-log "BACKLOG I (appended phase-2b stages) COMPLETE"
+log "BACKLOG I (revised) COMPLETE"
