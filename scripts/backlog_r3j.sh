@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Round-3 on-chip backlog, batch j (waits for batch i): the block-budget
+# A/B done RIGHT. Batch h proved the knob's only failure is one-time
+# compile logistics: 25e6 budgets change every kernel's block size, and a
+# single fresh-shape Mosaic compile through the AOT tunnel measures
+# ~367 s, so a 1800 s bench timeout dies before the first dispatch. The
+# profile data says the win should be real: at chi128 the orthonormalizer
+# replays its 256-step serial column chain once per grid block (13 blocks
+# under the 5 MB default, ~21.8 ms/op of pure latency); 25e6 cuts the
+# grid ~5x. Here each stage gets 7200 s to absorb the one-time compiles
+# into the persistent cache (~/.cache/qmltpu_xla), then a warm re-run
+# records the steady-state number.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+LOG=/tmp/backlog_j.log
+SD=/tmp/backlog_stages_j
+mkdir -p "$SD"
+log() { echo "== [$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+if [ -f /tmp/backlog_i.pid ]; then
+    log "waiting for batch i (pid $(cat /tmp/backlog_i.pid))"
+    tail --pid="$(cat /tmp/backlog_i.pid)" -f /dev/null 2>/dev/null
+fi
+log "batch i done; starting batch j"
+
+bench_stage() { # name timeout env...
+    local name=$1 tmo=$2; shift 2
+    [ -s "runs/perf_ab/$name.json" ] && { log "skip $name (banked)"; return 0; }
+    log "bench $name ($*)"
+    if timeout "$tmo" env "$@" python bench.py \
+        > "$SD/$name.out" 2> "$SD/$name.err"; then
+        cp "$SD/$name.out" "runs/perf_ab/$name.json"
+        grep -E "warm run|max_abs_err|avg_fidelity" "$SD/$name.err" \
+            > "runs/perf_ab/$name.err.txt" || true
+        cat "$SD/$name.out" >> "$LOG"
+    else
+        log "FAILED $name rc=$?"; tail -4 "$SD/$name.err" >> "$LOG"
+    fi
+}
+
+# Compile-warm pass (result discarded if it also completes — kept as the
+# *_cold record), then the steady-state record.
+bench_stage bench_blk25_cold        7200 QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+bench_stage bench_blk25             1800 QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+bench_stage bench_blk25_chi128_cold 7200 QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6 BENCH_CHI=128
+bench_stage bench_blk25_chi128      1800 QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6 BENCH_CHI=128
+
+# If the phase-2 gate kernel won its batch-i A/B, the combined stage is
+# the candidate production config at chi128:
+bench_stage bench_gate_blk25_chi128 7200 QMLTPU_FUSED_GATE=1 BENCH_CHI=128 \
+    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+
+log "BACKLOG J COMPLETE"
