@@ -86,14 +86,30 @@ def pallas_qr_supported(m: int, k: int, dtype) -> bool:
         return False
 
 
-def orth_rows_body(vr, vi, qr_ref, qi_ref):
+def mgs_pair() -> bool:
+    """QMLTPU_MGS_PAIR=1 processes within-panel columns two at a time
+    (block-2 BCGS2): the pair is CGS2-projected against the panel prefix
+    in ONE dot_general (MXU) instead of two broadcast-reduce chains, then
+    the second column is MGS2'd against the first. Halves the serial
+    dependency chain that dominates per-op latency at chi >= 128
+    (runs/perf_ab/profile_op.jsonl: orth1 21.8 ms/op at chi128 while the
+    matmul work is ~2 ms). Default off pending the on-chip A/B."""
+    import os
+
+    return os.environ.get("QMLTPU_MGS_PAIR", "0") == "1"
+
+
+def orth_rows_body(vr, vi, qr_ref, qi_ref, pair: bool = False):
     """BCGS2 over complex vectors stored as ROWS.
 
     ``vr, vi`` are VALUES ``[B, k, m]`` (k vectors of length m); the
     orthonormal rows are written into the VMEM refs ``qr_ref, qi_ref`` of
     the same shape. Shared by :func:`_orth_kernel` and the fused
     subspace-split kernel (ops/pallas_split.py), which calls it twice
-    inside one launch."""
+    inside one launch. ``pair`` selects the block-2 within-panel variant
+    (:func:`mgs_pair`); both variants produce an orthonormal basis of the
+    same span with the same exact-zero and dependent-column-zeroing
+    invariants — only the f32 summation order differs."""
     B, k, m = vr.shape
     nP = k // PANEL
     qr_ref[:] = jnp.zeros_like(qr_ref[:])
@@ -133,6 +149,54 @@ def orth_rows_body(vr, vi, qr_ref, qi_ref):
                     + lax.dot_general(ci, Qr, dn_upd, preferred_element_type=f32, precision=lax.Precision.HIGHEST)
                 )
 
+        if pair:
+            # Block-2 within-panel BCGS2: the pair projects against the
+            # panel prefix via dot_general (MXU, rows >= t are still exact
+            # zeros so they contribute nothing), then column t+1 is MGS2'd
+            # against the freshly normalized column t. Half the serial
+            # steps of the scalar loop below; same span, same invariants.
+            dn_p2 = (((2,), (2,)), ((0,), (0,)))  # [B,P,m] x [B,2,m] -> [B,P,2]
+            dn_u2 = (((1,), (1,)), ((0,), (0,)))  # [B,P,2] x [B,P,m] -> [B,2,m]
+            hi = lax.Precision.HIGHEST
+            for t in range(0, PANEL, 2):
+                xr = ar[:, t:t + 2, :]  # [B, 2, m]
+                xi = ai[:, t:t + 2, :]
+                for _ in range(2):
+                    Qpr = qr_ref[:, sl, :]
+                    Qpi = qi_ref[:, sl, :]
+                    cr = lax.dot_general(Qpr, xr, dn_p2, preferred_element_type=f32, precision=hi) + \
+                         lax.dot_general(Qpi, xi, dn_p2, preferred_element_type=f32, precision=hi)
+                    ci = lax.dot_general(Qpr, xi, dn_p2, preferred_element_type=f32, precision=hi) - \
+                         lax.dot_general(Qpi, xr, dn_p2, preferred_element_type=f32, precision=hi)
+                    xr = xr - (
+                        lax.dot_general(cr, Qpr, dn_u2, preferred_element_type=f32, precision=hi)
+                        - lax.dot_general(ci, Qpi, dn_u2, preferred_element_type=f32, precision=hi)
+                    )
+                    xi = xi - (
+                        lax.dot_general(cr, Qpi, dn_u2, preferred_element_type=f32, precision=hi)
+                        + lax.dot_general(ci, Qpr, dn_u2, preferred_element_type=f32, precision=hi)
+                    )
+                x0r, x0i = xr[:, 0, :], xi[:, 0, :]
+                n2 = jnp.sum(x0r * x0r + x0i * x0i, axis=1)
+                keep = (n2 > _DEP_TOL2 * n2_orig[:, t]).astype(x0r.dtype)
+                inv = lax.rsqrt(n2 + _TINY) * keep
+                q0r = x0r * inv[:, None]
+                q0i = x0i * inv[:, None]
+                qr_ref[:, p * PANEL + t, :] = q0r
+                qi_ref[:, p * PANEL + t, :] = q0i
+                x1r, x1i = xr[:, 1, :], xi[:, 1, :]
+                for _ in range(2):
+                    cr1 = jnp.sum(q0r * x1r + q0i * x1i, axis=1)
+                    ci1 = jnp.sum(q0r * x1i - q0i * x1r, axis=1)
+                    x1r = x1r - (cr1[:, None] * q0r - ci1[:, None] * q0i)
+                    x1i = x1i - (cr1[:, None] * q0i + ci1[:, None] * q0r)
+                n2 = jnp.sum(x1r * x1r + x1i * x1i, axis=1)
+                keep = (n2 > _DEP_TOL2 * n2_orig[:, t + 1]).astype(x1r.dtype)
+                inv = lax.rsqrt(n2 + _TINY) * keep
+                qr_ref[:, p * PANEL + t + 1, :] = x1r * inv[:, None]
+                qi_ref[:, p * PANEL + t + 1, :] = x1i * inv[:, None]
+            continue
+
         # Within-panel MGS2: sequential over the P columns, vector ops only.
         for t in range(PANEL):
             xr = ar[:, t, :]  # [B, m]
@@ -155,33 +219,41 @@ def orth_rows_body(vr, vi, qr_ref, qi_ref):
             qi_ref[:, p * PANEL + t, :] = xi * inv[:, None]
 
 
-def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
+def _make_orth_kernel(pair: bool):
     """Standalone batched orthonormalization launch (inputs [B, k, m])."""
-    orth_rows_body(vr_ref[:], vi_ref[:], qr_ref, qi_ref)
+
+    def _orth_kernel(vr_ref, vi_ref, qr_ref, qi_ref):
+        orth_rows_body(vr_ref[:], vi_ref[:], qr_ref, qi_ref, pair=pair)
+
+    return _orth_kernel
 
 
-def _orth_r_kernel(vr_ref, vi_ref, qr_ref, qi_ref, rr_ref, ri_ref):
+def _make_orth_r_kernel(pair: bool):
     """Orthonormalization PLUS the R factor in one launch: r = q^H v,
     computed while q and v are both VMEM-resident (saves the separate XLA
     matmul dispatch + the q reload that cpx.qr otherwise pays per
     canonical-center move — 470 of 1092 ops in the 32q tracked stream)."""
-    vr = vr_ref[:]
-    vi = vi_ref[:]
-    orth_rows_body(vr, vi, qr_ref, qi_ref)
-    # rows layout: r[i, j] = sum_m conj(q_rows[i, m]) v_rows[j, m]
-    dn = (((2,), (2,)), ((0,), (0,)))
-    hi = lax.Precision.HIGHEST
-    f32 = jnp.float32
-    qr_ = qr_ref[:]
-    qi_ = qi_ref[:]
-    rr_ref[:] = (
-        lax.dot_general(qr_, vr, dn, preferred_element_type=f32, precision=hi)
-        + lax.dot_general(qi_, vi, dn, preferred_element_type=f32, precision=hi)
-    )
-    ri_ref[:] = (
-        lax.dot_general(qr_, vi, dn, preferred_element_type=f32, precision=hi)
-        - lax.dot_general(qi_, vr, dn, preferred_element_type=f32, precision=hi)
-    )
+
+    def _orth_r_kernel(vr_ref, vi_ref, qr_ref, qi_ref, rr_ref, ri_ref):
+        vr = vr_ref[:]
+        vi = vi_ref[:]
+        orth_rows_body(vr, vi, qr_ref, qi_ref, pair=pair)
+        # rows layout: r[i, j] = sum_m conj(q_rows[i, m]) v_rows[j, m]
+        dn = (((2,), (2,)), ((0,), (0,)))
+        hi = lax.Precision.HIGHEST
+        f32 = jnp.float32
+        qr_ = qr_ref[:]
+        qi_ = qi_ref[:]
+        rr_ref[:] = (
+            lax.dot_general(qr_, vr, dn, preferred_element_type=f32, precision=hi)
+            + lax.dot_general(qi_, vi, dn, preferred_element_type=f32, precision=hi)
+        )
+        ri_ref[:] = (
+            lax.dot_general(qr_, vi, dn, preferred_element_type=f32, precision=hi)
+            - lax.dot_general(qi_, vr, dn, preferred_element_type=f32, precision=hi)
+        )
+
+    return _orth_r_kernel
 
 
 def _batch_block(k: int, m: int) -> int:
@@ -243,7 +315,7 @@ def rebalance_block(bb: int, B: int) -> int:
 
 @lru_cache(maxsize=32)
 def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
-                vma=None):
+                vma=None, pair: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -258,7 +330,7 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
             vmem_limit_bytes=100 * 1024 * 1024
         )
     return pl.pallas_call(
-        _orth_kernel,
+        _make_orth_kernel(pair),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((Bb * n_blocks, k, m), jnp.float32, vma=vma),
@@ -273,7 +345,7 @@ def _build_call(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
 
 @lru_cache(maxsize=32)
 def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
-                  vma=None):
+                  vma=None, pair: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -286,7 +358,7 @@ def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
         )
     B = Bb * n_blocks
     return pl.pallas_call(
-        _orth_r_kernel,
+        _make_orth_r_kernel(pair),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((B, k, m), jnp.float32, vma=vma),
@@ -320,7 +392,7 @@ def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
     qr_, qi, rr, ri = _build_call_r(
-        bb, n_blocks, k, m, interpret, vma_of(v.re)
+        bb, n_blocks, k, m, interpret, vma_of(v.re), mgs_pair()
     )(tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi)), Cpx(rr[:B], ri[:B])
@@ -367,8 +439,8 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
-    qr_, qi = _build_call(bb, n_blocks, k, m, interpret, vma_of(v.re))(
-        tr(v.re), tr(v.im))
+    qr_, qi = _build_call(bb, n_blocks, k, m, interpret, vma_of(v.re),
+                          mgs_pair())(tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi))
 

@@ -98,7 +98,7 @@ def _cmul_dot(ar, ai, br, bi, dn, conj_a=False, conj_b=False):
 
 def _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
                  qr_ref, qi_ref, rr_ref, ri_ref,
-                 wr_ref, wi_ref, v_scratch):
+                 wr_ref, wi_ref, v_scratch, pair=False):
     """The VMEM-resident subspace-split chain on theta VALUES ``thr, thi``
     ``[B, m, k]`` — shared by the theta-input kernel and the fused
     gate+theta-build kernel. ``iters`` power iterations, each a
@@ -125,14 +125,14 @@ def _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
         else:
             # w_rows = v_rows conj(theta): contract m -> [B, keep, k]
             wr, wi = _cmul_dot(vr, vi, thr, thi, dn_rows, conj_b=True)
-        orth_rows_body(wr, wi, wr_ref, wi_ref)
+        orth_rows_body(wr, wi, wr_ref, wi_ref, pair=pair)
 
         # v_rows = w_rows theta^T: contract k -> [B, keep, m]
         vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], thr, thi, dn_k)
         if it == iters - 1:
-            orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
+            orth_rows_body(vr_n, vi_n, qr_ref, qi_ref, pair=pair)
         else:
-            orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
+            orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1], pair=pair)
             vr = v_scratch[0][:]
             vi = v_scratch[1][:]
 
@@ -142,7 +142,7 @@ def _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
     ri_ref[:] = ri
 
 
-def _make_split_kernel(iters: int):
+def _make_split_kernel(iters: int, pair: bool = False):
     """Kernel body: theta given as an input ref (phase 1)."""
 
     def kernel(thr_ref, thi_ref, v0r_ref, v0i_ref,
@@ -150,12 +150,12 @@ def _make_split_kernel(iters: int):
                wr_ref, wi_ref, *v_scratch):
         _split_chain(iters, thr_ref[:], thi_ref[:], v0r_ref, v0i_ref,
                      qr_ref, qi_ref, rr_ref, ri_ref,
-                     wr_ref, wi_ref, v_scratch)
+                     wr_ref, wi_ref, v_scratch, pair=pair)
 
     return kernel
 
 
-def _make_gate_split_kernel(iters: int, chi: int):
+def _make_gate_split_kernel(iters: int, chi: int, pair: bool = False):
     """Kernel body: build theta IN-KERNEL from the two site tensors and the
     per-element 4x4 gate, then run the split chain (phase 2 — saves the
     theta0/theta HBM round trips AND the two XLA matmul dispatches per
@@ -214,7 +214,7 @@ def _make_gate_split_kernel(iters: int, chi: int):
 
         _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
                      qr_ref, qi_ref, rr_ref, ri_ref,
-                     wr_ref, wi_ref, v_scratch)
+                     wr_ref, wi_ref, v_scratch, pair=pair)
 
     return kernel
 
@@ -246,7 +246,7 @@ def _batch_block(m: int, k: int, keep: int, iters: int) -> int:
 
 @lru_cache(maxsize=32)
 def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
-                interpret: bool, vma=None):
+                interpret: bool, vma=None, pair: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -270,7 +270,7 @@ def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
             pltpu.VMEM((Bb, keep, m), jnp.float32),
         ]
     return pl.pallas_call(
-        _make_split_kernel(iters),
+        _make_split_kernel(iters, pair),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
@@ -301,9 +301,11 @@ def subspace_factor_batched(
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
+    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+
     vma = vma_of(theta.re)
     qr_, qi, rr, ri = _build_call(
-        bb, n_blocks, m, k, keep, iters, interpret, vma
+        bb, n_blocks, m, k, keep, iters, interpret, vma, mgs_pair()
     )(pad(theta.re), pad(theta.im),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:B], 1, 2), jnp.swapaxes(qi[:B], 1, 2))
@@ -394,7 +396,7 @@ def _batch_block_gate(chi: int, keep: int, iters: int) -> int:
 
 @lru_cache(maxsize=32)
 def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
-                     interpret: bool, vma=None):
+                     interpret: bool, vma=None, pair: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -424,7 +426,7 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             pltpu.VMEM((Bb, keep, m), jnp.float32),
         ]
     return pl.pallas_call(
-        _make_gate_split_kernel(iters, chi),
+        _make_gate_split_kernel(iters, chi, pair),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
@@ -459,9 +461,11 @@ def gate_split_factor_batched(
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
     from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
 
+    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+
     vma = vma_of(A.re)
     qr_, qi, rr, ri, tot = _build_gate_call(
-        bb, n_blocks, chi, keep, iters, interpret, vma
+        bb, n_blocks, chi, keep, iters, interpret, vma, mgs_pair()
     )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
@@ -575,7 +579,7 @@ def _batch_block_brick(chi: int, keep: int, iters: int) -> int:
     return max(2, min(128, (budget // per // 2) * 2))
 
 
-def _make_brick_split_kernel(iters: int, chi: int):
+def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
     """Fused Hastings pair update (ops/vidal.update_pairs semantics):
 
         theta_t = G (a x b)                 (gate-applied, UNWEIGHTED)
@@ -632,15 +636,15 @@ def _make_brick_split_kernel(iters: int, chi: int):
             else:
                 # w_rows = (theta q_cols)^T: contract k -> [B, keep, m]
                 wr, wi = _cmul_dot(qv[0], qv[1], twr, twi, dn_rows_k)
-            orth_rows_body(wr, wi, wr_ref, wi_ref)
+            orth_rows_body(wr, wi, wr_ref, wi_ref, pair=pair)
 
             # v_rows = (theta^H w)^T: contract m, conj theta -> [B, keep, k]
             vr_n, vi_n = _cmul_dot(wr_ref[:], wi_ref[:], twr, twi, dn_m,
                                    conj_b=True)
             if it == iters - 1:
-                orth_rows_body(vr_n, vi_n, qr_ref, qi_ref)
+                orth_rows_body(vr_n, vi_n, qr_ref, qi_ref, pair=pair)
             else:
-                orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1])
+                orth_rows_body(vr_n, vi_n, v_scratch[0], v_scratch[1], pair=pair)
                 qv = (v_scratch[0][:], v_scratch[1][:])
 
         q2r = qr_ref[:]
@@ -658,7 +662,7 @@ def _make_brick_split_kernel(iters: int, chi: int):
 
 @lru_cache(maxsize=32)
 def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
-                      interpret: bool, vma=None):
+                      interpret: bool, vma=None, pair: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -688,7 +692,7 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             pltpu.VMEM((Bb, keep, k), jnp.float32),
         ]
     return pl.pallas_call(
-        _make_brick_split_kernel(iters, chi),
+        _make_brick_split_kernel(iters, chi, pair),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
@@ -726,9 +730,11 @@ def brick_gate_split_batched(
     pad2 = lambda t: jnp.pad(t, ((0, bpad), (0, 0)))
     from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
 
+    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+
     vma = vma_of(A.re)
     q2r, q2i, nar, nai, s2, tot = _build_brick_call(
-        bb, n_blocks, chi, keep, iters, interpret, vma
+        bb, n_blocks, chi, keep, iters, interpret, vma, mgs_pair()
     )(pad3(A.re), pad3(A.im), pad3(B.re), pad3(B.im),
       pad3(g.re), pad3(g.im), pad2(lam),
       match_vma(v0.re, vma), match_vma(v0.im, vma))

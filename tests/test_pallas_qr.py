@@ -16,6 +16,15 @@ from qml_cutensornet_tpu.ops.cpx import Cpx
 from qml_cutensornet_tpu.ops.pallas_qr import orthonormalize_batched
 
 
+@pytest.fixture(params=[False, True], ids=["mgs", "mgspair"])
+def pair_mode(request, monkeypatch):
+    """Run every numerics test under both within-panel variants: the
+    serial MGS2 loop and the block-2 pair variant (QMLTPU_MGS_PAIR) —
+    same span/invariant contract, different f32 summation order."""
+    monkeypatch.setenv("QMLTPU_MGS_PAIR", "1" if request.param else "0")
+    return request.param
+
+
 def _orth(vc):
     v = Cpx(jnp.asarray(vc.real, jnp.float32), jnp.asarray(vc.imag, jnp.float32))
     q = orthonormalize_batched(v, interpret=True)
@@ -33,13 +42,13 @@ def _checks(vc, qc, orth_tol=5e-6, span_tol=5e-6):
         assert np.abs(vc[b] - proj).max() / scale < span_tol
 
 
-def test_random_full_rank():
+def test_random_full_rank(pair_mode):
     rng = np.random.default_rng(0)
     vc = rng.standard_normal((3, 128, 32)) + 1j * rng.standard_normal((3, 128, 32))
     _checks(vc, _orth(vc))
 
 
-def test_ill_conditioned_spectrum():
+def test_ill_conditioned_spectrum(pair_mode):
     rng = np.random.default_rng(1)
     m, k = 128, 32
     u, _ = np.linalg.qr(rng.standard_normal((m, k)) + 1j * rng.standard_normal((m, k)))
@@ -49,7 +58,7 @@ def test_ill_conditioned_spectrum():
     _checks(vc, _orth(vc), orth_tol=2e-5, span_tol=2e-4)
 
 
-def test_rank_deficient_zeros_not_junk():
+def test_rank_deficient_zeros_not_junk(pair_mode):
     """Numerically dependent columns must come back EXACTLY zero (GS junk
     duplicates destroyed MPS states in the engine; zeros are inert)."""
     rng = np.random.default_rng(2)
@@ -65,7 +74,7 @@ def test_rank_deficient_zeros_not_junk():
     _checks(vc, qc, span_tol=1e-5)
 
 
-def test_exact_zero_padding_preserved():
+def test_exact_zero_padding_preserved(pair_mode):
     rng = np.random.default_rng(3)
     vc = rng.standard_normal((2, 128, 32)) + 0j
     vc[:, :, 16:] = 0.0
@@ -74,7 +83,7 @@ def test_exact_zero_padding_preserved():
     _checks(vc, qc)
 
 
-def test_batch_padding_roundtrip():
+def test_batch_padding_roundtrip(pair_mode):
     """B not a multiple of the internal block: results must match a
     one-at-a-time reference."""
     rng = np.random.default_rng(4)
@@ -85,7 +94,7 @@ def test_batch_padding_roundtrip():
         np.testing.assert_allclose(q_all[b], q_one[0], atol=1e-6)
 
 
-def test_fused_r_factor_reconstructs():
+def test_fused_r_factor_reconstructs(pair_mode):
     """orthonormalize_r_batched: q r must equal v to roundoff (the cpx.qr
     contract — r is NOT triangular, no caller relies on that), including
     on rank-deficient input where dependent q columns are zeroed."""

@@ -77,6 +77,26 @@ def test_matches_unfused_chain():
     np.testing.assert_allclose(rf, ru, atol=2e-5)
 
 
+def test_pair_variant_exact_factorization(monkeypatch):
+    """QMLTPU_MGS_PAIR=1 (block-2 within-panel BCGS2) through the fused
+    split: same exact-factorization and isometry contract as the scalar
+    variant — rank(theta) <= keep must reconstruct to f32 roundoff and
+    dependent columns must stay exactly zero."""
+    monkeypatch.setenv("QMLTPU_MGS_PAIR", "1")
+    rng = np.random.default_rng(11)
+    for m, k, keep, rank in [(64, 64, 32, 20), (128, 96, 32, 7)]:
+        thc = _rand_theta(rng, 2, m, k, rank=rank)
+        qc, rc = _fused(thc, keep)
+        assert np.abs(qc @ rc - thc).max() < 5e-6, (m, k, keep, rank)
+        for b in range(2):
+            norms = np.linalg.norm(qc[b], axis=0)
+            nz = norms > 0.5
+            assert nz.sum() == min(rank, keep)
+            g = qc[b][:, nz].conj().T @ qc[b][:, nz]
+            assert np.abs(g - np.eye(nz.sum())).max() < 5e-6
+            assert np.abs(qc[b][:, ~nz]).max() == 0.0
+
+
 def test_exact_factorization_when_rank_fits():
     """rank(theta) <= keep: q r must reconstruct theta to f32 roundoff
     (the no-truncation regime the 1e-6 parity ledger lives in)."""
