@@ -210,7 +210,11 @@ def _make_gate_split_kernel(iters: int, chi: int, pair: bool = False):
         thr = thr_ref[:]
         thi = thi_ref[:]
         tot = jnp.sum(thr * thr + thi * thi, axis=(1, 2))  # [Bb]
-        tot_ref[:] = jnp.broadcast_to(tot[:, None], (Bb, tot_ref.shape[1]))
+        # [Bb, 1, lanes]: the singleton middle dim keeps the blocked
+        # batch dim OUT of the last two — Mosaic requires those to be
+        # (8, 128)-divisible or equal to the array dims.
+        tot_ref[:] = jnp.broadcast_to(
+            tot[:, None, None], (Bb, 1, tot_ref.shape[2]))
 
         _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
                      qr_ref, qi_ref, rr_ref, ri_ref,
@@ -407,7 +411,8 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
     v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((Bb, _TOT_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((Bb, 1, _TOT_LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     B = Bb * n_blocks
     kwargs = {}
     if not interpret:
@@ -433,7 +438,7 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 1, _TOT_LANES), jnp.float32, vma=vma),
         ),
         in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec,
                   v0_spec, v0_spec],
@@ -469,7 +474,7 @@ def gate_split_factor_batched(
     )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
-    return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0]
+    return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0, 0]
 
 
 @lru_cache(maxsize=8)
@@ -609,13 +614,16 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
             chi,
         )
         # Row weight: row (s al) s-major -> lam[al] for both s halves.
-        lam = lam_ref[:]
+        lam = lam_ref[:][:, 0, :]  # [Bb, 1, chi] ref -> [Bb, chi]
         lam2 = jnp.concatenate([lam, lam], axis=1)[:, :, None]  # [Bb, 2chi, 1]
         twr = ttr * lam2
         twi = tti * lam2
 
         tot = jnp.sum(twr * twr + twi * twi, axis=(1, 2))
-        tot_ref[:] = jnp.broadcast_to(tot[:, None], (Bb, tot_ref.shape[1]))
+        # Singleton middle dims keep the blocked batch dim out of the
+        # last two (the Mosaic (8, 128)/equal-dims block rule).
+        tot_ref[:] = jnp.broadcast_to(
+            tot[:, None, None], (Bb, 1, tot_ref.shape[2]))
 
         # Right-subspace chain on theta_w [B, m, k] (dot roles swapped
         # vs _split_chain; storage is rows == plain transposes, no conj).
@@ -651,7 +659,7 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
         q2i = qi_ref[:]
         # s2[j] = sum_m |(theta_w q_cols)[m, j]|^2 (conj-invariant).
         pr, pi = _cmul_dot(q2r, q2i, twr, twi, dn_rows_k)
-        s2_ref[:] = jnp.sum(pr * pr + pi * pi, axis=2)
+        s2_ref[:] = jnp.sum(pr * pr + pi * pi, axis=2)[:, None, :]
         # new_a0 rows = (theta_t q_cols)^T = theta_t V^H transposed storage.
         nar, nai = _cmul_dot(q2r, q2i, ttr, tti, dn_rows_k)
         nar_ref[:] = nar
@@ -670,12 +678,15 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
     a_spec = pl.BlockSpec((Bb, m, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((Bb, chi, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((Bb, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    l_spec = pl.BlockSpec((Bb, chi), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    l_spec = pl.BlockSpec((Bb, 1, chi), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     na_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    s2_spec = pl.BlockSpec((Bb, keep), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((Bb, _TOT_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    s2_spec = pl.BlockSpec((Bb, 1, keep), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((Bb, 1, _TOT_LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     B = Bb * n_blocks
     kwargs = {}
     if not interpret:
@@ -699,8 +710,8 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((B, keep), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((B, _TOT_LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 1, keep), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 1, _TOT_LANES), jnp.float32, vma=vma),
         ),
         in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec, l_spec,
                   v0_spec, v0_spec],
@@ -736,7 +747,7 @@ def brick_gate_split_batched(
     q2r, q2i, nar, nai, s2, tot = _build_brick_call(
         bb, n_blocks, chi, keep, iters, interpret, vma, mgs_pair()
     )(pad3(A.re), pad3(A.im), pad3(B.re), pad3(B.im),
-      pad3(g.re), pad3(g.im), pad2(lam),
+      pad3(g.re), pad3(g.im), pad2(lam)[:, None, :],
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     return (Cpx(q2r[:Bn], q2i[:Bn]), Cpx(nar[:Bn], nai[:Bn]),
-            s2[:Bn], tot[:Bn, 0])
+            s2[:Bn, 0], tot[:Bn, 0, 0])
