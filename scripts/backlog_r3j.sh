@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Round-3 on-chip backlog, batch j (waits for batch i): the block-budget
+# Round-3 on-chip backlog, batch j (waits for batch k): the block-budget
 # A/B done RIGHT. Batch h proved the knob's only failure is one-time
 # compile logistics: 25e6 budgets change every kernel's block size, and a
 # single fresh-shape Mosaic compile through the AOT tunnel measures
@@ -18,11 +18,11 @@ SD=/tmp/backlog_stages_j
 mkdir -p "$SD"
 log() { echo "== [$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-if [ -f /tmp/backlog_i.pid ]; then
-    log "waiting for batch i (pid $(cat /tmp/backlog_i.pid))"
-    tail --pid="$(cat /tmp/backlog_i.pid)" -f /dev/null 2>/dev/null
+if [ -f /tmp/backlog_k.pid ]; then
+    log "waiting for batch k (pid $(cat /tmp/backlog_k.pid))"
+    tail --pid="$(cat /tmp/backlog_k.pid)" -f /dev/null 2>/dev/null
 fi
-log "batch i done; starting batch j"
+log "batch k done; starting batch j"
 
 bench_stage() { # name timeout env...
     local name=$1 tmo=$2; shift 2

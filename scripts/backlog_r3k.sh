@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Round-3 on-chip backlog, batch k (waits for batch j): A/B of the
+# Round-3 on-chip backlog, batch k (waits for batch l): A/B of the
 # block-2 within-panel BCGS2 (QMLTPU_MGS_PAIR) — halves the serial column
 # chain the profiles blame for per-op latency. New kernel bodies = fresh
 # Mosaic compiles, so each config gets a 7200 s cold stage (persistent
@@ -13,11 +13,11 @@ SD=/tmp/backlog_stages_k
 mkdir -p "$SD"
 log() { echo "== [$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-if [ -f /tmp/backlog_j.pid ]; then
-    log "waiting for batch j (pid $(cat /tmp/backlog_j.pid))"
-    tail --pid="$(cat /tmp/backlog_j.pid)" -f /dev/null 2>/dev/null
+if [ -f /tmp/backlog_l.pid ]; then
+    log "waiting for batch l (pid $(cat /tmp/backlog_l.pid))"
+    tail --pid="$(cat /tmp/backlog_l.pid)" -f /dev/null 2>/dev/null
 fi
-log "batch j done; starting batch k"
+log "batch l done; starting batch k"
 
 bench_stage() { # name timeout env...
     local name=$1 tmo=$2; shift 2

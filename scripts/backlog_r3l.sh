@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Round-3 on-chip backlog, batch l (waits for batch k): retry the phase-2
+# Round-3 on-chip backlog, batch l (waits for batch i): retry the phase-2
 # and phase-2b fused-gate A/B stages that died in batch i on the Mosaic
 # block-mapping bug (fixed in 7e908ee; tests/test_tpu_lowering.py now
 # lowers every kernel family for TPU in CI). Fresh kernel bodies = fresh
@@ -12,11 +12,11 @@ SD=/tmp/backlog_stages_l
 mkdir -p "$SD"
 log() { echo "== [$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
-if [ -f /tmp/backlog_k.pid ]; then
-    log "waiting for batch k (pid $(cat /tmp/backlog_k.pid))"
-    tail --pid="$(cat /tmp/backlog_k.pid)" -f /dev/null 2>/dev/null
+if [ -f /tmp/backlog_i.pid ]; then
+    log "waiting for batch i (pid $(cat /tmp/backlog_i.pid))"
+    tail --pid="$(cat /tmp/backlog_i.pid)" -f /dev/null 2>/dev/null
 fi
-log "batch k done; starting batch l"
+log "batch i done; starting batch l"
 
 bench_stage() { # name timeout env...
     local name=$1 tmo=$2; shift 2
