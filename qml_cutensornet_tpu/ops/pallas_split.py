@@ -533,7 +533,6 @@ def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
     over contiguous quadrant slices. Returns theta VALUES [B, 2chi, 2chi]."""
     dn_ab = (((2,), (1,)), ((0,), (0,)))
     t0r, t0i = _cmul_dot(ar, ai, br, bi, dn_ab)
-    B2 = ar.shape[0]
     outr = []
     outi = []
     for s in range(2):
@@ -555,7 +554,6 @@ def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
             rowi.append(acci)
         outr.append(jnp.concatenate(rowr, axis=2))
         outi.append(jnp.concatenate(rowi, axis=2))
-    del B2
     return jnp.concatenate(outr, axis=1), jnp.concatenate(outi, axis=1)
 
 
@@ -571,11 +569,15 @@ def brick_split_supported(
 def _batch_block_brick(chi: int, keep: int, iters: int) -> int:
     """Per-element block buffers: A+B in (8 chi^2 f32 words), theta_t and
     theta_w values (8 chi^2 each) plus the transient theta0 (8 chi^2),
-    q/new_a0/w buffers (3 x 2*keep*2chi re+im), lambda + gate (tiny)."""
+    q/new_a0/w buffers (3 x 2*keep*2chi = 6 keep*m re+im) plus the pr/pi
+    transient of the s2 row-norm pass (2 keep*m), lambda + gate (tiny).
+    (Was 12 keep*m — a double count vs the gate variant's accounting that
+    halved the default batch block, i.e. doubled the serial grid-step
+    replay of the per-column orth chain for no VMEM reason.)"""
     import os
 
     m = 2 * chi
-    per = 4 * (32 * chi * chi + 12 * keep * m + chi + 32)
+    per = 4 * (32 * chi * chi + 8 * keep * m + chi + 32)
     if iters > 1:
         per += 4 * 2 * keep * m
     budget = int(float(os.environ.get(
@@ -598,8 +600,8 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
     candidate basis Q; V = conj(Q rows)), ``na0 [keep, m]`` (rows storage of
     theta_t Q), ``s2 [keep]`` (squared singular values of theta_w per
     direction, = row norms^2 of Q^H theta_w^H), ``tot = ||theta_w||_F^2``.
-    Masking/oversample-gather happen downstream (ops/svd._finish_brick) —
-    they depend only on (s2, tot).
+    Masking/oversample-gather happen downstream (the ``fin`` closure in
+    ops/svd.fused_brick_update) — they depend only on (s2, tot).
     """
 
     def kernel(ar_ref, ai_ref, br_ref, bi_ref, gr_ref, gi_ref, lam_ref,
@@ -627,20 +629,21 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
 
         # Right-subspace chain on theta_w [B, m, k] (dot roles swapped
         # vs _split_chain; storage is rows == plain transposes, no conj).
-        dn_v0 = (((1,), (2,)), ((0,), (0,)))    # [B,k,keep] x [B,m,k] -> [B,keep,m]
         dn_rows_k = (((2,), (2,)), ((0,), (0,)))  # [B,keep,k] x [B,m,k] -> [B,keep,m]
         dn_m = (((2,), (1,)), ((0,), (0,)))       # [B,keep,m] x [B,m,k] -> [B,keep,k]
 
         qv = None  # q rows [B, keep, k] between iterations
         for it in range(iters):
             if it == 0:
-                v0r = jnp.broadcast_to(v0r_ref[:][None], (Bb, m, keep))
-                v0i = jnp.broadcast_to(v0i_ref[:][None], (Bb, m, keep))
+                # Transpose the 2-D start block ONCE, then broadcast —
+                # not the other way around (a batched swapaxes would move
+                # Bb x the data for the same [keep, m] rows layout).
+                v0r = jnp.broadcast_to(
+                    jnp.swapaxes(v0r_ref[:], 0, 1)[None], (Bb, keep, m))
+                v0i = jnp.broadcast_to(
+                    jnp.swapaxes(v0i_ref[:], 0, 1)[None], (Bb, keep, m))
                 # w_rows = (theta v0)^T: contract k -> [B, keep, m]
-                wr, wi = _cmul_dot(
-                    jnp.swapaxes(v0r, 1, 2), jnp.swapaxes(v0i, 1, 2),
-                    twr, twi, dn_rows_k,
-                )
+                wr, wi = _cmul_dot(v0r, v0i, twr, twi, dn_rows_k)
             else:
                 # w_rows = (theta q_cols)^T: contract k -> [B, keep, m]
                 wr, wi = _cmul_dot(qv[0], qv[1], twr, twi, dn_rows_k)
