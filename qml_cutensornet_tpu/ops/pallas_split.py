@@ -189,32 +189,17 @@ def _make_gate_split_kernel(iters: int, chi: int, pair: bool = False):
         dn_ab = (((2,), (1,)), ((0,), (0,)))  # [B,2chi,chi] x [B,chi,2chi]
         t0r, t0i = _cmul_dot(ar_ref[:], ai_ref[:], br_ref[:], bi_ref[:], dn_ab)
 
-        gr = gr_ref[:]
-        gi = gi_ref[:]
-        for s in range(2):
-            for t in range(2):
-                accr = acci = None
-                for u in range(2):
-                    for v in range(2):
-                        cr = gr[:, 2 * s + t, 2 * u + v][:, None, None]
-                        ci = gi[:, 2 * s + t, 2 * u + v][:, None, None]
-                        qr_uv = t0r[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
-                        qi_uv = t0i[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
-                        pr = cr * qr_uv - ci * qi_uv
-                        pi = cr * qi_uv + ci * qr_uv
-                        accr = pr if accr is None else accr + pr
-                        acci = pi if acci is None else acci + pi
-                thr_ref[:, s * chi:(s + 1) * chi, t * chi:(t + 1) * chi] = accr
-                thi_ref[:, s * chi:(s + 1) * chi, t * chi:(t + 1) * chi] = acci
+        thr, thi = _gate_combine(t0r, t0i, gr_ref[:], gi_ref[:], chi)
+        thr_ref[:] = thr
+        thi_ref[:] = thi
 
-        thr = thr_ref[:]
-        thi = thi_ref[:]
-        tot = jnp.sum(thr * thr + thi * thi, axis=(1, 2))  # [Bb]
-        # [Bb, 1, lanes]: the singleton middle dim keeps the blocked
-        # batch dim OUT of the last two — Mosaic requires those to be
-        # (8, 128)-divisible or equal to the array dims.
-        tot_ref[:] = jnp.broadcast_to(
-            tot[:, None, None], (Bb, 1, tot_ref.shape[2]))
+        # keepdims: a rank-1 [Bb] intermediate trips the Mosaic layout
+        # pass (layout.h "arr.size() >= layout_rank" abort on chip —
+        # lowering-only CI does not reach it); stay rank-3 throughout.
+        # The singleton middle dim additionally keeps the blocked batch
+        # dim OUT of the last two block dims (the (8, 128)/equal rule).
+        tot = jnp.sum(thr * thr + thi * thi, axis=(1, 2), keepdims=True)
+        tot_ref[:] = jnp.broadcast_to(tot, (Bb, 1, tot_ref.shape[2]))
 
         _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
                      qr_ref, qi_ref, rr_ref, ri_ref,
@@ -527,12 +512,14 @@ def gate_subspace_factor(
 # --------------------------------------------------------------------------
 
 
-def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
-    """Shared in-kernel theta construction: one batched complex matmul of
-    the (s-major, t-major) site-tensor stacks plus the 4x4 gate combine
-    over contiguous quadrant slices. Returns theta VALUES [B, 2chi, 2chi]."""
-    dn_ab = (((2,), (1,)), ((0,), (0,)))
-    t0r, t0i = _cmul_dot(ar, ai, br, bi, dn_ab)
+def _gate_combine(t0r, t0i, gr, gi, chi):
+    """Shared in-kernel 4x4 gate combine over contiguous quadrant slices
+    of the raw two-site product t0 [B, 2chi, 2chi]. Used by BOTH the
+    phase-2 gate kernel and the phase-2b brick kernel — one place to fix.
+    Gate coefficients are taken as [B, 1, 1] basic slices, NOT integer
+    indexing: a rank-1 [B] intermediate trips the Mosaic layout pass on
+    chip (layout.h "arr.size() >= layout_rank" abort) even though both
+    interpret mode and the lowering pass accept it."""
     outr = []
     outi = []
     for s in range(2):
@@ -540,10 +527,12 @@ def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
         rowi = []
         for t in range(2):
             accr = acci = None
+            st = 2 * s + t
             for u in range(2):
                 for v in range(2):
-                    cr = gr[:, 2 * s + t, 2 * u + v][:, None, None]
-                    ci = gi[:, 2 * s + t, 2 * u + v][:, None, None]
+                    uv = 2 * u + v
+                    cr = gr[:, st:st + 1, uv:uv + 1]  # [B, 1, 1]
+                    ci = gi[:, st:st + 1, uv:uv + 1]
                     qr_uv = t0r[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
                     qi_uv = t0i[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
                     pr = cr * qr_uv - ci * qi_uv
@@ -555,6 +544,15 @@ def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
         outr.append(jnp.concatenate(rowr, axis=2))
         outi.append(jnp.concatenate(rowi, axis=2))
     return jnp.concatenate(outr, axis=1), jnp.concatenate(outi, axis=1)
+
+
+def _build_theta_quadrants(ar, ai, br, bi, gr, gi, chi):
+    """Shared in-kernel theta construction: one batched complex matmul of
+    the (s-major, t-major) site-tensor stacks plus the 4x4 gate combine
+    (:func:`_gate_combine`). Returns theta VALUES [B, 2chi, 2chi]."""
+    dn_ab = (((2,), (1,)), ((0,), (0,)))
+    t0r, t0i = _cmul_dot(ar, ai, br, bi, dn_ab)
+    return _gate_combine(t0r, t0i, gr, gi, chi)
 
 
 def brick_split_supported(
@@ -621,11 +619,11 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
         twr = ttr * lam2
         twi = tti * lam2
 
-        tot = jnp.sum(twr * twr + twi * twi, axis=(1, 2))
-        # Singleton middle dims keep the blocked batch dim out of the
-        # last two (the Mosaic (8, 128)/equal-dims block rule).
-        tot_ref[:] = jnp.broadcast_to(
-            tot[:, None, None], (Bb, 1, tot_ref.shape[2]))
+        # keepdims: rank-1 [Bb] intermediates abort the Mosaic layout
+        # pass on chip (see _gate_combine); the singleton middle dim
+        # keeps the blocked batch dim out of the last two block dims.
+        tot = jnp.sum(twr * twr + twi * twi, axis=(1, 2), keepdims=True)
+        tot_ref[:] = jnp.broadcast_to(tot, (Bb, 1, tot_ref.shape[2]))
 
         # Right-subspace chain on theta_w [B, m, k] (dot roles swapped
         # vs _split_chain; storage is rows == plain transposes, no conj).
