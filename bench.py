@@ -136,6 +136,7 @@ def main() -> None:
         # Phase 2 (theta build + gate application in-kernel): off pending
         # the on-chip A/B (runs/perf_ab).
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
+        mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     sched = ansatz.schedule

@@ -34,6 +34,11 @@ positional contract come from environment variables:
                        gate INSIDE the split kernel (phase 2 — theta never
                        round-trips HBM; requires QMLTPU_FUSED_SPLIT;
                        default 0 pending the on-chip A/B, runs/perf_ab)
+    QMLTPU_MGS_PAIR    1 runs every Pallas orthonormalization's within-panel
+                       loop two columns at a time (block-2 BCGS2 — halves
+                       the serial chain that dominates per-op latency at
+                       chi >= 128; default 0 pending the on-chip A/B,
+                       runs/perf_ab; see SimConfig.mgs_pair)
     QMLTPU_OVERSAMPLE  subspace oversampling p: iterate with chi+p basis
                        columns, keep the top-chi by weight (default 16
                        when chi >= 128 where the A/B measured it free,
@@ -163,6 +168,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         tile_precision=os.environ.get("QMLTPU_TILE_PRECISION", "inherit"),
         fused_split=os.environ.get("QMLTPU_FUSED_SPLIT", "1") != "0",
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
+        mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
     )
     if chi_env == "auto":

@@ -113,6 +113,16 @@ class SimConfig:
     # interpret mode so CPU CI can pin the real TPU routing end to end.
     fused_split: bool = False
     fused_interpret: bool = False
+    # Block-2 within-panel BCGS2 in every Pallas orthonormalization
+    # (ops/pallas_qr.orth_rows_body pair variant): projects column pairs
+    # against the panel prefix in ONE dot_general (MXU) then MGS2's the
+    # second column against the first — halves the serial per-column chain
+    # that dominates per-op latency at chi >= 128. Static config for the
+    # same jaxpr-cache reason as fused_split (the QMLTPU_MGS_PAIR env knob
+    # is only a construction-time default wired in bench.py/cli/_pipeline,
+    # plus a call-time fallback for direct ops-module users). Default off
+    # pending the on-chip A/B decision rule (runs/perf_ab).
+    mgs_pair: bool = False
     # Phase 2 of the fused split (ops/pallas_split._make_gate_split_kernel):
     # ALSO build theta and apply the two-site gate inside the kernel, so
     # theta never round-trips HBM and two XLA matmul dispatches per gate op

@@ -320,7 +320,6 @@ def _make_chunked_stream_simulator(
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
         os.environ.get("QMLTPU_QR_BLOCK_BYTES", ""),
         os.environ.get("QMLTPU_FUSED_BLOCK_BYTES", ""),
-        os.environ.get("QMLTPU_MGS_PAIR", "0"),
     )
     cache_key = (cfg, chunk_len, mesh, staged, pallas_env)
     if cache_key in cache:
@@ -610,7 +609,6 @@ def make_brick_simulator(schedule, cfg: SimConfig, layer_chunk: int = 16, mesh=N
         os.environ.get("QMLTPU_BLOCKED_QR", "1"),
         os.environ.get("QMLTPU_QR_BLOCK_BYTES", ""),
         os.environ.get("QMLTPU_FUSED_BLOCK_BYTES", ""),
-        os.environ.get("QMLTPU_MGS_PAIR", "0"),
     )
     cache_key = ("brick", cfg, layer_chunk, mesh, staged, pallas_env)
     if cache_key in cache:

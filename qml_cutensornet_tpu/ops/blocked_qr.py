@@ -105,7 +105,8 @@ def _panel_kernel_ok(m: int, dtype, interpret: bool) -> bool:
 
 
 def qr_orth_blocked(v: Cpx, pallas_panels: bool = False,
-                    interpret: bool = False) -> Cpx:
+                    interpret: bool = False,
+                    pair: bool | None = None) -> Cpx:
     """Orthonormal basis of the columns of ``v [m, k]`` (complex pairs).
     Works under vmap (pure jnp ops). Zero input columns stay exactly zero;
     numerically dependent columns are zeroed.
@@ -151,7 +152,7 @@ def qr_orth_blocked(v: Cpx, pallas_panels: bool = False,
             n2_post = jnp.sum(cpx.abs2(a), axis=0)
             cross_keep = (n2_post > (_DEP_TOL * _DEP_TOL) * n2_orig).astype(rdt)
             a = cpx.scale(a, cross_keep[None, :])
-            a = pallas_qr.qr_orth_pallas(a, interpret=interpret)
+            a = pallas_qr.qr_orth_pallas(a, interpret=interpret, pair=pair)
         else:
             a = _mgs2_panel(a, n2_orig, rdt)
         q_re = q_re.at[:, sl].set(a.re)

@@ -212,7 +212,8 @@ def _blocked_orth_eligible(v: Cpx) -> bool:
         return False
 
 
-def qr(v: Cpx, fused: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
+def qr(v: Cpx, fused: bool = False, interpret: bool = False,
+       pair: bool | None = None) -> tuple[Cpx, Cpx]:
     """Complex reduced "QR": ``v = q @ r`` with ``q`` column-orthonormal.
 
     On the TPU f32 path this routes to the Pallas BCGS2 kernel
@@ -236,17 +237,18 @@ def qr(v: Cpx, fused: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
         # never env reads at trace time (nested-jit caches would go stale).
         from qml_cutensornet_tpu.ops import pallas_qr
 
-        return pallas_qr.qr_with_r_pallas(v, interpret=interpret)
+        return pallas_qr.qr_with_r_pallas(v, interpret=interpret, pair=pair)
     if _pallas_orth_eligible(v):
         from qml_cutensornet_tpu.ops import pallas_qr
 
-        q = pallas_qr.qr_orth_pallas(v)
+        q = pallas_qr.qr_orth_pallas(v, pair=pair)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r
     if _blocked_orth_eligible(v):
         from qml_cutensornet_tpu.ops import blocked_qr
 
-        q = blocked_qr.qr_orth_blocked(v, pallas_panels=fused, interpret=interpret)
+        q = blocked_qr.qr_orth_blocked(v, pallas_panels=fused,
+                                       interpret=interpret, pair=pair)
         r = einsum("mi,mk->ik", conj(q), v)
         return q, r
     e = embed_interleaved(v)  # [2m, 2k]
@@ -258,21 +260,25 @@ def qr(v: Cpx, fused: bool = False, interpret: bool = False) -> tuple[Cpx, Cpx]:
     return lift_interleaved(qe), lift_interleaved(re_)
 
 
-def qr_orth(v: Cpx, fused: bool = False, interpret: bool = False) -> Cpx:
+def qr_orth(v: Cpx, fused: bool = False, interpret: bool = False,
+            pair: bool | None = None) -> Cpx:
     """Orthonormal basis of the columns of ``v`` (Q factor of :func:`qr`).
-    ``fused``/``interpret`` are SimConfig.fused_split / .fused_interpret
-    threaded by callers (static jit choices): ``fused`` routes the
-    large-chi blocked path's panels through the VMEM Pallas kernel."""
+    ``fused``/``interpret``/``pair`` are SimConfig.fused_split /
+    .fused_interpret / .mgs_pair threaded by callers (static jit choices):
+    ``fused`` routes the large-chi blocked path's panels through the VMEM
+    Pallas kernel; ``pair`` selects the block-2 within-panel BCGS2."""
     if _pallas_orth_eligible(v) or (interpret and _pallas_shape_ok(v)):
         from qml_cutensornet_tpu.ops import pallas_qr
 
         return pallas_qr.qr_orth_pallas(
-            v, interpret=interpret and not _pallas_orth_eligible(v)
+            v, interpret=interpret and not _pallas_orth_eligible(v),
+            pair=pair,
         )
     if _blocked_orth_eligible(v):
         from qml_cutensornet_tpu.ops import blocked_qr
 
-        return blocked_qr.qr_orth_blocked(v, pallas_panels=fused, interpret=interpret)
+        return blocked_qr.qr_orth_blocked(v, pallas_panels=fused,
+                                          interpret=interpret, pair=pair)
     return qr(v)[0]
 
 

@@ -194,10 +194,11 @@ def move_center(mps: MPS, site, direction, cfg: SimConfig) -> MPS:
 
     fused = cfg.fused_split
     interp = cfg.fused_interpret
+    mpair = cfg.mgs_pair
 
     def right(a, b):
         t = cpx.tmap(lambda x: x.reshape(chi * 2, chi), a)
-        q, r = cpx.qr(t, fused=fused, interpret=interp)
+        q, r = cpx.qr(t, fused=fused, interpret=interp, pair=mpair)
         new_a = cpx.tmap(lambda x: x.reshape(chi, 2, chi), q)
         new_b = cpx.einsum("ij,jsc->isc", r, b)
         return new_a, new_b
@@ -205,7 +206,7 @@ def move_center(mps: MPS, site, direction, cfg: SimConfig) -> MPS:
     def left(a, b):
         t = cpx.tmap(lambda x: x.reshape(chi, 2 * chi), b)
         th = Cpx(t.re.T, -t.im.T)  # t^H [2chi, chi]
-        q, r = cpx.qr(th, fused=fused, interpret=interp)  # t^H = q r
+        q, r = cpx.qr(th, fused=fused, interpret=interp, pair=mpair)  # t^H = q r
         l = Cpx(r.re.T, -r.im.T)  # [chi, chi]
         qrow = Cpx(q.re.T, -q.im.T)  # row-orthonormal [chi, 2chi]
         new_b = cpx.tmap(lambda x: x.reshape(chi, 2, chi), qrow)

@@ -93,10 +93,20 @@ def mgs_pair() -> bool:
     the second column is MGS2'd against the first. Halves the serial
     dependency chain that dominates per-op latency at chi >= 128
     (runs/perf_ab/profile_op.jsonl: orth1 21.8 ms/op at chi128 while the
-    matmul work is ~2 ms). Default off pending the on-chip A/B."""
+    matmul work is ~2 ms). Default off pending the on-chip A/B.
+
+    This is the ``pair=None`` call-time FALLBACK for direct ops-module
+    users only. The engine threads ``SimConfig.mgs_pair`` explicitly (a
+    static jit argument, like fused_split) — an env read at trace time
+    inside a jitted caller would be baked into its jaxpr cache and go
+    stale on in-process flips."""
     import os
 
     return os.environ.get("QMLTPU_MGS_PAIR", "0") == "1"
+
+
+def _resolve_pair(pair: bool | None) -> bool:
+    return mgs_pair() if pair is None else bool(pair)
 
 
 def orth_rows_body(vr, vi, qr_ref, qi_ref, pair: bool = False):
@@ -256,27 +266,33 @@ def _make_orth_r_kernel(pair: bool):
     return _orth_r_kernel
 
 
-def _batch_block(k: int, m: int) -> int:
-    """Largest batch block such that the kernel fits VMEM (~16 MB/core).
+def block_from_budget(per_elem_bytes: int, env: str) -> int:
+    """Largest EVEN batch block in [2, 128] whose per-element block buffers
+    (``per_elem_bytes``, counted by the caller) fit the byte budget read
+    from the ``env`` knob (default ~5 MB; accepts float syntax like 25e6).
 
-    Peak scoped usage is ~2.7x the four [Bb, k, m] f32 in/out buffers
-    (Mosaic stacks the HIGHEST-precision dot temporaries and the unrolled
-    panel loop's intermediates) — measured: 9.4 MB of buffers OOMed at
-    25.5 MB scoped under the 16 MB compiler default; the launches below
-    raise the ceiling to 100 MB, so ~35 MB of buffers is the hard edge.
-    Default the buffers to ~5 MB; ``QMLTPU_QR_BLOCK_BYTES`` raises it.
-    Grid blocks run sequentially and each replays the serial per-column
-    chain, so a bigger block divides the op's latency share; block size
-    groups independent batch elements only (numerics-neutral).
-    The batch dim is neither lanes nor sublanes, so any block size is
-    layout-legal."""
+    Shared by every Pallas launch's block sizing (the orthonormalizer and
+    fused-split variants differ only in what they count per element).
+    Mosaic's scoped peak runs ~3x the block buffers (measured: 9.4 MB of
+    buffers OOMed at 25.5 MB scoped under the 16 MB compiler default; the
+    launches raise the ceiling to 100 MB, so ~35 MB of buffers is the hard
+    edge). Grid blocks run sequentially and each replays the serial
+    per-column orthonormalization chain, so a bigger block divides an op's
+    latency share; blocks group independent batch elements only — the knob
+    is numerics-neutral, a pure perf lever for the on-chip A/B
+    (runs/perf_ab). Minimum 2: Mosaic cannot lower the per-column
+    reductions for 1-element batch vectors. The batch dim is neither lanes
+    nor sublanes, so any block size is layout-legal."""
     import os
 
-    budget = int(float(os.environ.get(
-        "QMLTPU_QR_BLOCK_BYTES", str(5 * 1024 * 1024)
-    )))
-    bb = budget // (4 * k * m * 4)
-    return max(2, min(128, (bb // 2) * 2))
+    budget = int(float(os.environ.get(env, str(5 * 1024 * 1024))))
+    return max(2, min(128, (budget // per_elem_bytes // 2) * 2))
+
+
+def _batch_block(k: int, m: int) -> int:
+    """Block sizing for the plain orthonormalizer: four [Bb, k, m] f32
+    in/out buffers per element (see :func:`block_from_budget`)."""
+    return block_from_budget(4 * k * m * 4, "QMLTPU_QR_BLOCK_BYTES")
 
 
 def vma_of(x):
@@ -373,40 +389,38 @@ def _build_call_r(Bb: int, n_blocks: int, k: int, m: int, interpret: bool,
     )
 
 
-def orthonormalize_r_batched(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]:
+def orthonormalize_r_batched(
+    v: Cpx, interpret: bool = False, pair: bool | None = None
+) -> tuple[Cpx, Cpx]:
     """Like :func:`orthonormalize_batched` but also returns ``r = q^H v``
     ([B, k, k], NOT triangular — the :func:`cpx.qr` contract) from the same
     launch."""
     B, m, k = v.re.shape
     # Budget must count the two extra [Bb, k, k] r-output blocks on top of
     # the four [Bb, k, m] in/out buffers _batch_block accounts for.
-    import os
-
-    budget = int(float(os.environ.get(
-        "QMLTPU_QR_BLOCK_BYTES", str(5 * 1024 * 1024)
-    )))
-    per = 4 * (4 * k * m + 2 * k * k)
-    bb_r = max(2, min(128, (budget // per // 2) * 2))
+    bb_r = block_from_budget(4 * (4 * k * m + 2 * k * k),
+                             "QMLTPU_QR_BLOCK_BYTES")
     bb = rebalance_block(min(bb_r, _batch_block(k, m)), B)
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
     qr_, qi, rr, ri = _build_call_r(
-        bb, n_blocks, k, m, interpret, vma_of(v.re), mgs_pair()
+        bb, n_blocks, k, m, interpret, vma_of(v.re), _resolve_pair(pair)
     )(tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi)), Cpx(rr[:B], ri[:B])
 
 
-@lru_cache(maxsize=4)
-def _get_orth_r_single(interpret: bool):
-    """custom_vmap wrapper for the fused Q+R launch, per interpret mode
-    (a STATIC choice threaded from SimConfig.fused_interpret — not an env
-    read, which nested-jit jaxpr caches would staleness-trap)."""
+@lru_cache(maxsize=8)
+def _get_orth_r_single(interpret: bool, pair: bool):
+    """custom_vmap wrapper for the fused Q+R launch, per (interpret, pair)
+    (STATIC choices threaded from SimConfig.fused_interpret / .mgs_pair —
+    not env reads, which nested-jit jaxpr caches would staleness-trap)."""
 
     @jax.custom_batching.custom_vmap
     def _orth_r_single(re, im):
-        q, r = orthonormalize_r_batched(Cpx(re[None], im[None]), interpret=interpret)
+        q, r = orthonormalize_r_batched(
+            Cpx(re[None], im[None]), interpret=interpret, pair=pair)
         return q.re[0], q.im[0], r.re[0], r.im[0]
 
     @_orth_r_single.def_vmap
@@ -416,20 +430,26 @@ def _get_orth_r_single(interpret: bool):
             raise NotImplementedError(
                 "orthonormalize expects re and im batched together"
             )
-        q, r = orthonormalize_r_batched(Cpx(re, im), interpret=interpret)
+        q, r = orthonormalize_r_batched(Cpx(re, im), interpret=interpret,
+                                        pair=pair)
         return (q.re, q.im, r.re, r.im), (True, True, True, True)
 
     return _orth_r_single
 
 
-def qr_with_r_pallas(v: Cpx, interpret: bool = False) -> tuple[Cpx, Cpx]:
+def qr_with_r_pallas(
+    v: Cpx, interpret: bool = False, pair: bool | None = None
+) -> tuple[Cpx, Cpx]:
     """Drop-in for the (q, r) pair in cpx.qr's Pallas branch: one launch
     instead of kernel + XLA matmul. Same vmap contract as qr_orth_pallas."""
-    qre, qim, rre, rim = _get_orth_r_single(interpret)(v.re, v.im)
+    qre, qim, rre, rim = _get_orth_r_single(
+        interpret, _resolve_pair(pair))(v.re, v.im)
     return Cpx(qre, qim), Cpx(rre, rim)
 
 
-def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
+def orthonormalize_batched(
+    v: Cpx, interpret: bool = False, pair: bool | None = None
+) -> Cpx:
     """Orthonormal basis of the columns of each ``v[b] [m, k]`` (complex
     pairs, batched). Returns Q with the same shape; zero columns stay zero."""
     B, m, k = v.re.shape
@@ -440,19 +460,21 @@ def orthonormalize_batched(v: Cpx, interpret: bool = False) -> Cpx:
     bpad = bb * n_blocks - B
     tr = lambda t: jnp.pad(jnp.swapaxes(t, 1, 2), ((0, bpad), (0, 0), (0, 0)))
     qr_, qi = _build_call(bb, n_blocks, k, m, interpret, vma_of(v.re),
-                          mgs_pair())(tr(v.re), tr(v.im))
+                          _resolve_pair(pair))(tr(v.re), tr(v.im))
     untr = lambda t: jnp.swapaxes(t[:B], 1, 2)
     return Cpx(untr(qr_), untr(qi))
 
 
-@lru_cache(maxsize=4)
-def _get_orth_single(interpret: bool):
-    """custom_vmap wrapper per interpret mode (static, threaded from
-    SimConfig.fused_interpret — never an env read at trace time)."""
+@lru_cache(maxsize=8)
+def _get_orth_single(interpret: bool, pair: bool):
+    """custom_vmap wrapper per (interpret, pair) (static, threaded from
+    SimConfig.fused_interpret / .mgs_pair — never an env read at trace
+    time)."""
 
     @jax.custom_batching.custom_vmap
     def _orth_single(re, im):
-        q = orthonormalize_batched(Cpx(re[None], im[None]), interpret=interpret)
+        q = orthonormalize_batched(Cpx(re[None], im[None]),
+                                   interpret=interpret, pair=pair)
         return q.re[0], q.im[0]
 
     @_orth_single.def_vmap
@@ -462,15 +484,17 @@ def _get_orth_single(interpret: bool):
             raise NotImplementedError(
                 "orthonormalize expects re and im batched together"
             )
-        q = orthonormalize_batched(Cpx(re, im), interpret=interpret)
+        q = orthonormalize_batched(Cpx(re, im), interpret=interpret, pair=pair)
         return (q.re, q.im), (True, True)
 
     return _orth_single
 
 
-def qr_orth_pallas(v: Cpx, interpret: bool = False) -> Cpx:
+def qr_orth_pallas(
+    v: Cpx, interpret: bool = False, pair: bool | None = None
+) -> Cpx:
     """Drop-in for cpx.qr_orth on the TPU f32 path. Works under one level of
     vmap (the engine's batch axis) via a custom batching rule that maps the
     whole batch into ONE kernel launch instead of a serial grid."""
-    re, im = _get_orth_single(interpret)(v.re, v.im)
+    re, im = _get_orth_single(interpret, _resolve_pair(pair))(v.re, v.im)
     return Cpx(re, im)

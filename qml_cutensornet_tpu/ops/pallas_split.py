@@ -221,16 +221,13 @@ def _batch_block(m: int, k: int, keep: int, iters: int) -> int:
     under the 5 MB default). Block size groups independent batch elements
     only — it cannot change any element's numerics — so
     ``QMLTPU_FUSED_BLOCK_BYTES`` is a pure perf knob for the on-chip A/B
-    (runs/perf_ab)."""
-    import os
+    (runs/perf_ab). Clamp semantics: pallas_qr.block_from_budget."""
+    from qml_cutensornet_tpu.ops.pallas_qr import block_from_budget
 
     per = 4 * (2 * m * k + 2 * keep * m + 4 * keep * k)
     if iters > 1:
         per += 4 * 2 * keep * m
-    budget = int(float(os.environ.get(
-        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
-    )))
-    return max(2, min(128, (budget // per // 2) * 2))
+    return block_from_budget(per, "QMLTPU_FUSED_BLOCK_BYTES")
 
 
 @lru_cache(maxsize=32)
@@ -276,7 +273,8 @@ def _build_call(Bb: int, n_blocks: int, m: int, k: int, keep: int, iters: int,
 
 
 def subspace_factor_batched(
-    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False
+    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False,
+    pair: bool | None = None,
 ) -> tuple[Cpx, Cpx]:
     """Fused subspace factorization of each ``theta[b] [m, k]``: returns
     ``(q [B, m, keep], r [B, keep, k])`` with ``q`` a masked isometry
@@ -290,26 +288,26 @@ def subspace_factor_batched(
     n_blocks = -(-B // bb)
     bpad = bb * n_blocks - B
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
-    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+    from qml_cutensornet_tpu.ops.pallas_qr import _resolve_pair
 
     vma = vma_of(theta.re)
     qr_, qi, rr, ri = _build_call(
-        bb, n_blocks, m, k, keep, iters, interpret, vma, mgs_pair()
+        bb, n_blocks, m, k, keep, iters, interpret, vma, _resolve_pair(pair)
     )(pad(theta.re), pad(theta.im),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:B], 1, 2), jnp.swapaxes(qi[:B], 1, 2))
     return q, Cpx(rr[:B], ri[:B])
 
 
-@lru_cache(maxsize=8)
-def _get_split_single(iters: int, interpret: bool):
-    """custom_vmap wrapper per (static) iteration count / interpret mode."""
+@lru_cache(maxsize=16)
+def _get_split_single(iters: int, interpret: bool, pair: bool):
+    """custom_vmap wrapper per (static) iters / interpret / pair choice."""
 
     @jax.custom_batching.custom_vmap
     def _split_single(thr, thi, v0r, v0i):
         q, r = subspace_factor_batched(
             Cpx(thr[None], thi[None]), Cpx(v0r, v0i), v0r.shape[1],
-            iters=iters, interpret=interpret,
+            iters=iters, interpret=interpret, pair=pair,
         )
         return q.re[0], q.im[0], r.re[0], r.im[0]
 
@@ -326,7 +324,7 @@ def _get_split_single(iters: int, interpret: bool):
             v0i = v0i[0]
         q, r = subspace_factor_batched(
             Cpx(thr, thi), Cpx(v0r, v0i), v0r.shape[1],
-            iters=iters, interpret=interpret,
+            iters=iters, interpret=interpret, pair=pair,
         )
         return (q.re, q.im, r.re, r.im), (True, True, True, True)
 
@@ -334,14 +332,17 @@ def _get_split_single(iters: int, interpret: bool):
 
 
 def subspace_factor(
-    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False
+    theta: Cpx, v0: Cpx, keep: int, iters: int = 1, interpret: bool = False,
+    pair: bool | None = None,
 ) -> tuple[Cpx, Cpx]:
     """Drop-in for the matmul+orth chain in ops/svd._split_subspace (TPU
     f32, iters unrolled in-kernel; see _make_split_kernel for the iters>1
     semantics). Works under the engine's vmap level via a custom batching
     rule mapping the whole batch into one kernel launch."""
+    from qml_cutensornet_tpu.ops.pallas_qr import _resolve_pair
+
     assert v0.re.shape[1] == keep
-    fn = _get_split_single(iters, interpret)
+    fn = _get_split_single(iters, interpret, _resolve_pair(pair))
     qre, qim, rre, rim = fn(theta.re, theta.im, v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim)
 
@@ -371,16 +372,13 @@ def _batch_block_gate(chi: int, keep: int, iters: int) -> int:
     (8 chi^2) plus the transient theta0 value (8 chi^2), q/r out and w
     scratch (2 keep * 2chi each), gate (32) — the theta0 value is counted
     like a buffer because Mosaic keeps it live across the gate combine."""
-    import os
+    from qml_cutensornet_tpu.ops.pallas_qr import block_from_budget
 
     m = k = 2 * chi
     per = 4 * (24 * chi * chi + 2 * keep * m + 4 * keep * k + 32)
     if iters > 1:
         per += 4 * 2 * keep * m
-    budget = int(float(os.environ.get(
-        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
-    )))
-    return max(2, min(128, (budget // per // 2) * 2))
+    return block_from_budget(per, "QMLTPU_FUSED_BLOCK_BYTES")
 
 
 @lru_cache(maxsize=32)
@@ -436,7 +434,7 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
 
 def gate_split_factor_batched(
     A: Cpx, B: Cpx, g: Cpx, v0: Cpx, keep: int, iters: int = 1,
-    interpret: bool = False,
+    interpret: bool = False, pair: bool | None = None,
 ) -> tuple[Cpx, Cpx, jnp.ndarray]:
     """Fused gate + theta build + subspace factorization. ``A [Bn, 2chi,
     chi]`` (s-major rows), ``B [Bn, chi, 2chi]`` (t-major cols), ``g [Bn,
@@ -449,29 +447,28 @@ def gate_split_factor_batched(
     n_blocks = -(-Bn // bb)
     bpad = bb * n_blocks - Bn
     pad = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
-    from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
-
-    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+    from qml_cutensornet_tpu.ops.pallas_qr import (
+        _resolve_pair, match_vma, vma_of)
 
     vma = vma_of(A.re)
     qr_, qi, rr, ri, tot = _build_gate_call(
-        bb, n_blocks, chi, keep, iters, interpret, vma, mgs_pair()
+        bb, n_blocks, chi, keep, iters, interpret, vma, _resolve_pair(pair)
     )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
     return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0, 0]
 
 
-@lru_cache(maxsize=8)
-def _get_gate_split_single(iters: int, interpret: bool):
-    """custom_vmap wrapper per (static) iteration count / interpret mode."""
+@lru_cache(maxsize=16)
+def _get_gate_split_single(iters: int, interpret: bool, pair: bool):
+    """custom_vmap wrapper per (static) iters / interpret / pair choice."""
 
     @jax.custom_batching.custom_vmap
     def _gs_single(ar, ai, br, bi, gr, gi, v0r, v0i):
         q, r, tot = gate_split_factor_batched(
             Cpx(ar[None], ai[None]), Cpx(br[None], bi[None]),
             Cpx(gr[None], gi[None]), Cpx(v0r, v0i), v0r.shape[1],
-            iters=iters, interpret=interpret,
+            iters=iters, interpret=interpret, pair=pair,
         )
         return q.re[0], q.im[0], r.re[0], r.im[0], tot[0]
 
@@ -487,7 +484,7 @@ def _get_gate_split_single(iters: int, interpret: bool):
             v0i = v0i[0]
         q, r, tot = gate_split_factor_batched(
             Cpx(ar, ai), Cpx(br, bi), Cpx(gr, gi), Cpx(v0r, v0i),
-            v0r.shape[1], iters=iters, interpret=interpret,
+            v0r.shape[1], iters=iters, interpret=interpret, pair=pair,
         )
         return (q.re, q.im, r.re, r.im, tot), (True,) * 5
 
@@ -496,12 +493,14 @@ def _get_gate_split_single(iters: int, interpret: bool):
 
 def gate_subspace_factor(
     A: Cpx, B: Cpx, g: Cpx, v0: Cpx, keep: int, iters: int = 1,
-    interpret: bool = False,
+    interpret: bool = False, pair: bool | None = None,
 ) -> tuple[Cpx, Cpx, jnp.ndarray]:
     """Unbatched/vmap-level entry for the fused gate split (same custom
     batching contract as :func:`subspace_factor`)."""
+    from qml_cutensornet_tpu.ops.pallas_qr import _resolve_pair
+
     assert v0.re.shape[1] == keep
-    fn = _get_gate_split_single(iters, interpret)
+    fn = _get_gate_split_single(iters, interpret, _resolve_pair(pair))
     qre, qim, rre, rim, tot = fn(A.re, A.im, B.re, B.im, g.re, g.im,
                                  v0.re, v0.im)
     return Cpx(qre, qim), Cpx(rre, rim), tot
@@ -572,16 +571,13 @@ def _batch_block_brick(chi: int, keep: int, iters: int) -> int:
     (Was 12 keep*m — a double count vs the gate variant's accounting that
     halved the default batch block, i.e. doubled the serial grid-step
     replay of the per-column orth chain for no VMEM reason.)"""
-    import os
+    from qml_cutensornet_tpu.ops.pallas_qr import block_from_budget
 
     m = 2 * chi
     per = 4 * (32 * chi * chi + 8 * keep * m + chi + 32)
     if iters > 1:
         per += 4 * 2 * keep * m
-    budget = int(float(os.environ.get(
-        "QMLTPU_FUSED_BLOCK_BYTES", str(5 * 1024 * 1024)
-    )))
-    return max(2, min(128, (budget // per // 2) * 2))
+    return block_from_budget(per, "QMLTPU_FUSED_BLOCK_BYTES")
 
 
 def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
@@ -725,7 +721,7 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
 
 def brick_gate_split_batched(
     A: Cpx, B: Cpx, g: Cpx, lam, v0: Cpx, keep: int, iters: int = 1,
-    interpret: bool = False,
+    interpret: bool = False, pair: bool | None = None,
 ):
     """Fused brick pair update over an explicit batch (no vmap wrapper —
     ops/vidal.update_pairs owns the flattened [B*K] batch). ``A [Bn, 2chi,
@@ -740,13 +736,12 @@ def brick_gate_split_batched(
     bpad = bb * n_blocks - Bn
     pad3 = lambda t: jnp.pad(t, ((0, bpad), (0, 0), (0, 0)))
     pad2 = lambda t: jnp.pad(t, ((0, bpad), (0, 0)))
-    from qml_cutensornet_tpu.ops.pallas_qr import match_vma, vma_of
-
-    from qml_cutensornet_tpu.ops.pallas_qr import mgs_pair
+    from qml_cutensornet_tpu.ops.pallas_qr import (
+        _resolve_pair, match_vma, vma_of)
 
     vma = vma_of(A.re)
     q2r, q2i, nar, nai, s2, tot = _build_brick_call(
-        bb, n_blocks, chi, keep, iters, interpret, vma, mgs_pair()
+        bb, n_blocks, chi, keep, iters, interpret, vma, _resolve_pair(pair)
     )(pad3(A.re), pad3(A.im), pad3(B.re), pad3(B.im),
       pad3(g.re), pad3(g.im), pad2(lam)[:, None, :],
       match_vma(v0.re, vma), match_vma(v0.im, vma))

@@ -213,7 +213,8 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         # path below run the SAME inter-orth double-multiply iteration; the
         # kernel only changes memory residency and f32 summation order.
         q, r = pallas_split.subspace_factor(
-            theta, v, nc, iters, interpret=cfg.fused_interpret
+            theta, v, nc, iters, interpret=cfg.fused_interpret,
+            pair=cfg.mgs_pair,
         )
     else:
         # Inter-orthonormalized double-multiply form, every iteration:
@@ -233,10 +234,12 @@ def _split_subspace(theta: Cpx, cfg: SimConfig, keep: int):
         for _ in range(iters):
             with power_ctx():
                 w = cpx.einsum("ij,ik->jk", cpx.conj(theta), v)  # theta^H v
-            w = cpx.qr_orth(w, fused=cfg.fused_split, interpret=cfg.fused_interpret)
+            w = cpx.qr_orth(w, fused=cfg.fused_split,
+                            interpret=cfg.fused_interpret, pair=cfg.mgs_pair)
             with power_ctx():
                 v = cpx.einsum("ij,jk->ik", theta, w)
-            v = cpx.qr_orth(v, fused=cfg.fused_split, interpret=cfg.fused_interpret)
+            v = cpx.qr_orth(v, fused=cfg.fused_split,
+                            interpret=cfg.fused_interpret, pair=cfg.mgs_pair)
         q = v
         r = cpx.einsum("mi,mk->ik", cpx.conj(q), theta)  # [keep, k]
 
@@ -365,7 +368,8 @@ def truncated_svd_gate(a: Cpx, b: Cpx, g: Cpx, cfg: SimConfig, keep: int,
     from qml_cutensornet_tpu.ops import pallas_split
 
     q, r, total = pallas_split.gate_subspace_factor(
-        A, B, g2, v0, nc, iters, interpret=cfg.fused_interpret
+        A, B, g2, v0, nc, iters, interpret=cfg.fused_interpret,
+        pair=cfg.mgs_pair,
     )
     return _finish_subspace(q, r, total, cfg, keep, nc)
 
@@ -415,7 +419,8 @@ def fused_brick_update(a: Cpx, b: Cpx, g4: Cpx, lam, cfg: SimConfig,
     from qml_cutensornet_tpu.ops import pallas_split
 
     q2, na0, s2, total = pallas_split.brick_gate_split_batched(
-        A, Bm, g4, lam, v0, nc, iters, interpret=cfg.fused_interpret
+        A, Bm, g4, lam, v0, nc, iters, interpret=cfg.fused_interpret,
+        pair=cfg.mgs_pair,
     )
 
     def fin(q2re, q2im, nare, naim, s2e, tote):

@@ -213,6 +213,47 @@ def test_end_to_end_gram_via_svd_routing(monkeypatch, iters):
     )
 
 
+def test_cfg_mgs_pair_threads_without_env(monkeypatch):
+    """SimConfig.mgs_pair is a STATIC config choice threaded through every
+    Pallas orthonormalization (like fused_split): on the engine path the
+    QMLTPU_MGS_PAIR env fallback (pallas_qr.mgs_pair, the ``pair=None``
+    convenience for direct ops-module users) must never be consulted at
+    trace time — an env read baked into a jitted caller's jaxpr cache goes
+    stale on in-process flips (the round-3 deferred review finding). The
+    pair-variant Gram must also agree with the scalar variant to f32
+    accumulation noise (same span, different summation order)."""
+    import numpy as np
+
+    from qml_cutensornet_tpu.config import SimConfig
+    from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
+    from qml_cutensornet_tpu.models.entanglement import entanglement_graph
+    from qml_cutensornet_tpu.models.gram import build_kernel_matrix
+    from qml_cutensornet_tpu.ops import pallas_qr
+
+    monkeypatch.setenv("QMLTPU_STAGED", "0")
+    jax.clear_caches()
+
+    def _no_env_fallback():
+        raise AssertionError(
+            "pallas_qr.mgs_pair() env fallback consulted on the "
+            "cfg-threaded engine path"
+        )
+
+    monkeypatch.setattr(pallas_qr, "mgs_pair", _no_env_fallback)
+
+    nq = 8
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0.0, 2.0, size=(4, nq))
+    ansatz = KernelStateAnsatz(nq, 1, 1.0, entanglement_graph(nq, 2))
+    base = dict(chi=16, precision="f32", svd_method="subspace",
+                fused_split=True, fused_interpret=True)
+    k_pair = build_kernel_matrix(
+        ansatz, X, cfg=SimConfig(mgs_pair=True, **base), sim_batch=4, tile=4)
+    k_scalar = build_kernel_matrix(
+        ansatz, X, cfg=SimConfig(mgs_pair=False, **base), sim_batch=4, tile=4)
+    np.testing.assert_allclose(k_pair, k_scalar, atol=3e-5)
+
+
 def test_brick_engine_with_fused_kernels(monkeypatch):
     """The brick (Vidal/Hastings) engine flattens layer pairs into one
     vmap level over truncated_split_right — the fused kernel must map that
