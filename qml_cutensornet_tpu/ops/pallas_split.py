@@ -189,17 +189,17 @@ def _make_gate_split_kernel(iters: int, chi: int, pair: bool = False):
         dn_ab = (((2,), (1,)), ((0,), (0,)))  # [B,2chi,chi] x [B,chi,2chi]
         t0r, t0i = _cmul_dot(ar_ref[:], ai_ref[:], br_ref[:], bi_ref[:], dn_ab)
 
+        del Bb
         thr, thi = _gate_combine(t0r, t0i, gr_ref[:], gi_ref[:], chi)
         thr_ref[:] = thr
         thi_ref[:] = thi
 
-        # keepdims: a rank-1 [Bb] intermediate trips the Mosaic layout
-        # pass (layout.h "arr.size() >= layout_rank" abort on chip —
-        # lowering-only CI does not reach it); stay rank-3 throughout.
-        # The singleton middle dim additionally keeps the blocked batch
-        # dim OUT of the last two block dims (the (8, 128)/equal rule).
-        tot = jnp.sum(thr * thr + thi * thi, axis=(1, 2), keepdims=True)
-        tot_ref[:] = jnp.broadcast_to(tot, (Bb, 1, tot_ref.shape[2]))
+        # ||theta||^2 leaves the kernel as a [Bb, 1, k] SUBLANE-partial
+        # (lane sum finished in XLA by the batched wrapper): a full
+        # (1, 2)-axis reduce — keepdims or not — materializes a [Bb, 1, 1]
+        # value, which aborts the Mosaic layout pass on real lowering
+        # (see _gate_combine). The sublane-only reduce keeps lanes native.
+        tot_ref[:] = jnp.sum(thr * thr + thi * thi, axis=1, keepdims=True)
 
         _split_chain(iters, thr, thi, v0r_ref, v0i_ref,
                      qr_ref, qi_ref, rr_ref, ri_ref,
@@ -351,7 +351,9 @@ def subspace_factor(
 # Phase 2: gate application + theta build fused into the same launch.
 # --------------------------------------------------------------------------
 
-_TOT_LANES = 8  # lanes of the ||theta||^2 output ref (value broadcast)
+# The ||theta||^2 output refs are [Bb, 1, k] SUBLANE-partials (lane sum
+# finished in XLA): scalar-per-element in-kernel reduces create [Bb, 1, 1]
+# values, which abort the Mosaic layout pass (see _gate_combine).
 
 
 def gate_split_supported(
@@ -375,7 +377,7 @@ def _batch_block_gate(chi: int, keep: int, iters: int) -> int:
     from qml_cutensornet_tpu.ops.pallas_qr import block_from_budget
 
     m = k = 2 * chi
-    per = 4 * (24 * chi * chi + 2 * keep * m + 4 * keep * k + 32)
+    per = 4 * (24 * chi * chi + 2 * keep * m + 4 * keep * k + 32 * chi)
     if iters > 1:
         per += 4 * 2 * keep * m
     return block_from_budget(per, "QMLTPU_FUSED_BLOCK_BYTES")
@@ -390,11 +392,12 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
     m = k = 2 * chi
     a_spec = pl.BlockSpec((Bb, m, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((Bb, chi, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((Bb, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((Bb, 16, chi), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((Bb, keep, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((Bb, 1, _TOT_LANES), lambda i: (i, 0, 0),
+    t_spec = pl.BlockSpec((Bb, 1, k), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     B = Bb * n_blocks
     kwargs = {}
@@ -421,7 +424,7 @@ def _build_gate_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, k), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((B, 1, _TOT_LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.float32, vma=vma),
         ),
         in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec,
                   v0_spec, v0_spec],
@@ -450,13 +453,20 @@ def gate_split_factor_batched(
     from qml_cutensornet_tpu.ops.pallas_qr import (
         _resolve_pair, match_vma, vma_of)
 
+    # Gate rows [Bn, 16, chi]: coefficient (2s+t, 2u+v) replicated along
+    # chi lanes so the in-kernel combine is a sublane broadcast — a
+    # [B, 4, 4] gate ref aborts the Mosaic layout pass (_gate_combine).
+    g16 = lambda t: jnp.broadcast_to(
+        t.reshape(Bn, 16)[:, :, None], (Bn, 16, chi))
     vma = vma_of(A.re)
-    qr_, qi, rr, ri, tot = _build_gate_call(
+    qr_, qi, rr, ri, totp = _build_gate_call(
         bb, n_blocks, chi, keep, iters, interpret, vma, _resolve_pair(pair)
-    )(pad(A.re), pad(A.im), pad(B.re), pad(B.im), pad(g.re), pad(g.im),
+    )(pad(A.re), pad(A.im), pad(B.re), pad(B.im),
+      pad(g16(g.re)), pad(g16(g.im)),
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     q = Cpx(jnp.swapaxes(qr_[:Bn], 1, 2), jnp.swapaxes(qi[:Bn], 1, 2))
-    return q, Cpx(rr[:Bn], ri[:Bn]), tot[:Bn, 0, 0]
+    # Lane-sum of the kernel's [Bn, 1, k] sublane-partial ||theta||^2.
+    return q, Cpx(rr[:Bn], ri[:Bn]), jnp.sum(totp[:Bn, 0, :], axis=1)
 
 
 @lru_cache(maxsize=16)
@@ -515,10 +525,19 @@ def _gate_combine(t0r, t0i, gr, gi, chi):
     """Shared in-kernel 4x4 gate combine over contiguous quadrant slices
     of the raw two-site product t0 [B, 2chi, 2chi]. Used by BOTH the
     phase-2 gate kernel and the phase-2b brick kernel — one place to fix.
-    Gate coefficients are taken as [B, 1, 1] basic slices, NOT integer
-    indexing: a rank-1 [B] intermediate trips the Mosaic layout pass on
-    chip (layout.h "arr.size() >= layout_rank" abort) even though both
-    interpret mode and the lowering pass accept it."""
+
+    ``gr, gi`` are the gate coefficients PRE-EXPANDED (in XLA, by the
+    batched wrappers) to ``[B, 16, chi]`` rows: row ``4*(2s+t) + (2u+v)``
+    holds ``g[2s+t, 2u+v]`` replicated along chi lanes. Each coefficient
+    is then a ``[B, 1, chi]`` basic slice whose multiply against a
+    ``[B, chi, chi]`` quadrant is a plain SUBLANE broadcast (lanes already
+    match). This is load-bearing: any ``[B, 1, 1]``-shaped value in-kernel
+    — a coefficient slice from a [B, 4, 4] ref, integer indexing, or a
+    keepdims scalar reduce — aborts the Mosaic layout pass on REAL
+    lowering (layout.h "arr.size() >= layout_rank" Check, measured on
+    v5e) even though interpret mode and the lowering-only CI accept it.
+    The ~8 KB/element of replicated-lane HBM traffic is noise next to the
+    theta it saves."""
     outr = []
     outi = []
     for s in range(2):
@@ -530,8 +549,9 @@ def _gate_combine(t0r, t0i, gr, gi, chi):
             for u in range(2):
                 for v in range(2):
                     uv = 2 * u + v
-                    cr = gr[:, st:st + 1, uv:uv + 1]  # [B, 1, 1]
-                    ci = gi[:, st:st + 1, uv:uv + 1]
+                    ridx = 4 * st + uv
+                    cr = gr[:, ridx:ridx + 1, :]  # [B, 1, chi]
+                    ci = gi[:, ridx:ridx + 1, :]
                     qr_uv = t0r[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
                     qi_uv = t0i[:, u * chi:(u + 1) * chi, v * chi:(v + 1) * chi]
                     pr = cr * qr_uv - ci * qi_uv
@@ -574,7 +594,7 @@ def _batch_block_brick(chi: int, keep: int, iters: int) -> int:
     from qml_cutensornet_tpu.ops.pallas_qr import block_from_budget
 
     m = 2 * chi
-    per = 4 * (32 * chi * chi + 8 * keep * m + chi + 32)
+    per = 4 * (32 * chi * chi + 8 * keep * m + chi + 32 * chi)
     if iters > 1:
         per += 4 * 2 * keep * m
     return block_from_budget(per, "QMLTPU_FUSED_BLOCK_BYTES")
@@ -615,11 +635,10 @@ def _make_brick_split_kernel(iters: int, chi: int, pair: bool = False):
         twr = ttr * lam2
         twi = tti * lam2
 
-        # keepdims: rank-1 [Bb] intermediates abort the Mosaic layout
-        # pass on chip (see _gate_combine); the singleton middle dim
-        # keeps the blocked batch dim out of the last two block dims.
-        tot = jnp.sum(twr * twr + twi * twi, axis=(1, 2), keepdims=True)
-        tot_ref[:] = jnp.broadcast_to(tot, (Bb, 1, tot_ref.shape[2]))
+        # ||theta_w||^2 leaves as a [Bb, 1, k] SUBLANE-partial (lane sum
+        # finished in XLA): scalar-per-element reduces create [Bb, 1, 1]
+        # values, which abort the Mosaic layout pass (see _gate_combine).
+        tot_ref[:] = jnp.sum(twr * twr + twi * twi, axis=1, keepdims=True)
 
         # Right-subspace chain on theta_w [B, m, k] (dot roles swapped
         # vs _split_chain; storage is rows == plain transposes, no conj).
@@ -674,7 +693,8 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
     m = k = 2 * chi
     a_spec = pl.BlockSpec((Bb, m, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((Bb, chi, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((Bb, 4, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((Bb, 16, chi), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     l_spec = pl.BlockSpec((Bb, 1, chi), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     v0_spec = pl.BlockSpec((m, keep), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -682,7 +702,7 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
     na_spec = pl.BlockSpec((Bb, keep, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     s2_spec = pl.BlockSpec((Bb, 1, keep), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((Bb, 1, _TOT_LANES), lambda i: (i, 0, 0),
+    t_spec = pl.BlockSpec((Bb, 1, k), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     B = Bb * n_blocks
     kwargs = {}
@@ -708,7 +728,7 @@ def _build_brick_call(Bb: int, n_blocks: int, chi: int, keep: int, iters: int,
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, keep, m), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((B, 1, keep), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((B, 1, _TOT_LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.float32, vma=vma),
         ),
         in_specs=[a_spec, a_spec, b_spec, b_spec, g_spec, g_spec, l_spec,
                   v0_spec, v0_spec],
@@ -739,11 +759,14 @@ def brick_gate_split_batched(
     from qml_cutensornet_tpu.ops.pallas_qr import (
         _resolve_pair, match_vma, vma_of)
 
+    # Gate rows [Bn, 16, chi] (see gate_split_factor_batched).
+    g16 = lambda t: jnp.broadcast_to(
+        t.reshape(Bn, 16)[:, :, None], (Bn, 16, chi))
     vma = vma_of(A.re)
-    q2r, q2i, nar, nai, s2, tot = _build_brick_call(
+    q2r, q2i, nar, nai, s2, totp = _build_brick_call(
         bb, n_blocks, chi, keep, iters, interpret, vma, _resolve_pair(pair)
     )(pad3(A.re), pad3(A.im), pad3(B.re), pad3(B.im),
-      pad3(g.re), pad3(g.im), pad2(lam)[:, None, :],
+      pad3(g16(g.re)), pad3(g16(g.im)), pad2(lam)[:, None, :],
       match_vma(v0.re, vma), match_vma(v0.im, vma))
     return (Cpx(q2r[:Bn], q2i[:Bn]), Cpx(nar[:Bn], nai[:Bn]),
-            s2[:Bn, 0], tot[:Bn, 0, 0])
+            s2[:Bn, 0], jnp.sum(totp[:Bn, 0, :], axis=1))
