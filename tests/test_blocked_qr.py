@@ -187,9 +187,9 @@ def test_engine_fused_routes_panels_through_kernel(monkeypatch):
     calls = {"n": 0}
     real = pallas_qr.qr_orth_pallas
 
-    def counting(v, interpret=False):
+    def counting(v, interpret=False, pair=None):
         calls["n"] += 1
-        return real(v, interpret=interpret)
+        return real(v, interpret=interpret, pair=pair)
 
     # blocked_qr resolves the function through the module object at call
     # time, so patching the module attribute is seen inside traces.
