@@ -9,7 +9,10 @@ chunk/tile shapes), then each recorded size runs warm, so total_time
 measures the build, not the compiler. Replaces the cold _m1 rows the
 round-2 verdict flagged (total 436 s vs sim+dot ~6 s).
 
-Env: NTRS (default "50 100 200"), NF, D, G.
+Env: NTRS (default "50 100 200"), NF, D, G, DF (dataset csv under
+datasets/; default elliptic_preproc.csv — the reference-scale rows use an
+8000-labeled synthetic, see scripts/backlog_r4a.sh, because ntr=800 needs
+800 illicit rows and the canonical golden-pinned dataset has 500).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def main() -> None:
     g = float(os.environ.get("G", "0.1"))
     ntrs = [int(x) for x in os.environ.get("NTRS", "50 100 200").split()]
     s = 5
-    df = "elliptic_preproc.csv"
+    df = os.environ.get("DF", "elliptic_preproc.csv")
 
     (HERE / "raw").mkdir(exist_ok=True)
     res = HERE / "results.csv"
@@ -84,13 +87,18 @@ def main() -> None:
     )
     df_new = runtime_scaling_csv(str(HERE / "raw"), str(HERE / "results.csv"))
     df_new["platform"] = plat
-    # Keep the virtual-mesh (m2/m4/m8) rows from the previous CSV — their
-    # raw JSONs are not in raw/ anymore, only the aggregated rows survive.
+    # The headline results.csv holds ONLY real-chip rows (the round-3
+    # verdict flagged virtual-mesh rows sitting in it as scaling evidence).
+    # The m2/m4/m8 virtual-mesh plumbing demos move to their own CSV — their
+    # raw JSONs are gone, only the aggregated rows survive.
     prev = HERE / "results.csv.bak"
     if prev.exists():
         df_prev = pd.read_csv(prev)
-        keep = df_prev[~df_prev["data_set"].astype(str).str.endswith("_m1")]
-        df_new = pd.concat([keep, df_new], ignore_index=True)
+        virt = df_prev[
+            df_prev["platform"].astype(str).str.contains("virtual mesh")
+        ]
+        if len(virt):
+            virt.to_csv(HERE / "results_virtual_mesh.csv", index=False)
     df_new.to_csv(HERE / "results.csv", index=False)
     print(df_new)
 
