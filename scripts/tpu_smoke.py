@@ -14,15 +14,67 @@ chi=128 row for the block-budget arithmetic; the persistent compile cache
 makes reruns warm (~1 min). Each family is checked against a numpy golden
 where cheap (theta/total) or for its structural invariants (isometry,
 exact-zero columns).
+
+Modes (round-4 verdict item: gate benches on the smoke test):
+  (none)      run the smoke suite; on PASS write a stamp keyed to a hash of
+              the Pallas kernel sources (~/.cache/qmltpu_smoke.json).
+  --check     exit 0 if the stamp matches the current kernel sources
+              (no jax import), 3 if missing/stale.
+  --ensure    --check, and on staleness run the full smoke suite. Backlog
+              A/B scripts call this before banking any record.
+  --selftest  negative control: run a deliberately [B,1,1]-materializing
+              kernel in a subprocess and verify the run DIES (the Mosaic
+              layout abort the suite exists to catch). Proves the gate
+              catches the class, since nothing short of a real run does.
+  --abort-kernel  (internal) the subprocess body for --selftest.
 """
 from __future__ import annotations
 
+import hashlib
+import json
+import pathlib
 import sys
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+REPO = pathlib.Path(__file__).resolve().parents[1]
+STAMP = pathlib.Path.home() / ".cache" / "qmltpu_smoke.json"
+# Every file whose edits can change a Mosaic kernel body. blocked_qr.py has
+# no pallas_call of its own but routes panel shapes into the QR kernel.
+KERNEL_SOURCES = (
+    "qml_cutensornet_tpu/ops/pallas_qr.py",
+    "qml_cutensornet_tpu/ops/pallas_split.py",
+    "qml_cutensornet_tpu/ops/blocked_qr.py",
+)
+
+
+def kernel_fingerprint() -> str:
+    h = hashlib.sha256()
+    for rel in KERNEL_SOURCES:
+        h.update(rel.encode())
+        h.update((REPO / rel).read_bytes())
+    return h.hexdigest()
+
+
+def check_stamp() -> bool:
+    """True iff a PASS stamp exists for the current kernel sources."""
+    try:
+        rec = json.loads(STAMP.read_text())
+        return bool(rec.get("pass")) and rec["fingerprint"] == kernel_fingerprint()
+    except Exception:
+        return False
+
+
+def write_stamp(passed: bool, device_kind: str) -> None:
+    import time
+
+    STAMP.parent.mkdir(parents=True, exist_ok=True)
+    STAMP.write_text(json.dumps({
+        "pass": passed,
+        "fingerprint": kernel_fingerprint(),
+        "device_kind": device_kind,
+        "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }))
 
 
 def _cx(re, im):
@@ -36,6 +88,9 @@ def check(name, ok, detail=""):
 
 
 def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
     from qml_cutensornet_tpu.ops import blocked_qr, pallas_qr, pallas_split
     from qml_cutensornet_tpu.ops.cpx import Cpx
     from qml_cutensornet_tpu.ops.svd import _subspace_start
@@ -121,8 +176,66 @@ def main() -> int:
                 np.abs(qc.conj().T @ qc - np.eye(160)).max() < 5e-5)
 
     print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
+    write_stamp(bool(ok), dev.device_kind)
     return 0 if ok else 1
 
 
+def abort_kernel() -> int:
+    """Deliberately materialize a [B,1,1] value inside a Pallas kernel — the
+    class the Mosaic layout pass SIGABRTs on during real lowering while
+    interpret mode and lowering-only CI accept it (CLAUDE.md ground rules).
+    Run only from --selftest's subprocess: a 'passing' run means the abort
+    class is NO LONGER caught and the smoke gate has lost its teeth."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    if jax.devices()[0].platform != "tpu":
+        print("NOT a TPU — abort-kernel selftest is meaningless off-chip.")
+        return 2
+
+    def body(x_ref, o_ref):
+        s = jnp.sum(x_ref[...], axis=(1, 2), keepdims=True)  # [B,1,1]
+        o_ref[...] = x_ref[...] * s
+
+    x = jnp.ones((4, 8, 128), jnp.float32)
+    out = pl.pallas_call(
+        body, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+    )(x)
+    out.block_until_ready()
+    print("abort-kernel RAN TO COMPLETION (unexpected)")
+    return 0
+
+
+def selftest() -> int:
+    """Negative control for the smoke gate: the [B,1,1] kernel must DIE."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--abort-kernel"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    died = proc.returncode != 0 and proc.returncode != 2
+    tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+    print(f"subprocess rc={proc.returncode}; tail: {tail}")
+    print("SELFTEST " + ("PASS (abort class caught)" if died
+                         else "FAIL — [B,1,1] kernel survived real lowering"))
+    return 0 if died else 1
+
+
 if __name__ == "__main__":
+    if "--abort-kernel" in sys.argv:
+        sys.exit(abort_kernel())
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
+    if "--check" in sys.argv:
+        fresh = check_stamp()
+        print("smoke stamp " + ("FRESH" if fresh else "STALE/MISSING"))
+        sys.exit(0 if fresh else 3)
+    if "--ensure" in sys.argv:
+        if check_stamp():
+            print("smoke stamp FRESH — skipping on-chip run")
+            sys.exit(0)
+        print("smoke stamp STALE/MISSING — running the on-chip suite")
+        sys.exit(main())
     sys.exit(main())
