@@ -95,6 +95,30 @@ def main() -> None:
 
     log(f"bench devices: {probe['devs']}")
 
+    # Smoke-gate advisory (never fatal — the driver's bench must not depend
+    # on host-local state): warn loudly when the Pallas kernel sources have
+    # no on-chip smoke PASS stamp, so A/B automation can't silently bank
+    # numbers on kernels that were never run under real Mosaic lowering
+    # (interpret mode and lowering-only CI both miss the [B,1,1] abort
+    # class — scripts/tpu_smoke.py, CLAUDE.md).
+    try:
+        if probe["devs"][0].platform == "tpu":
+            import importlib.util as _ilu
+            import pathlib
+
+            _spec = _ilu.spec_from_file_location(
+                "tpu_smoke",
+                pathlib.Path(__file__).resolve().parent / "scripts/tpu_smoke.py",
+            )
+            _sm = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_sm)
+            if not _sm.check_stamp():
+                log("WARNING: no fresh on-chip smoke stamp for the Pallas "
+                    "kernel sources — run scripts/tpu_smoke.py --ensure "
+                    "before trusting kernel-path timings")
+    except Exception:
+        pass
+
     # Feature data through the REAL pipeline (sampler + scaler chain): the
     # reference's chi statistics depend on the post-scaler feature
     # distribution, so uniform angles would misrepresent the workload.
