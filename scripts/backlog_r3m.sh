@@ -37,11 +37,18 @@ bench_stage() { # name timeout env...
     fi
 }
 
-# gate + pair (no recompile risk beyond the fused-gate bodies themselves)
-bench_stage bench_gatepair_chi64_cold  7200 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1
-bench_stage bench_gatepair_chi64       1800 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1
-bench_stage bench_gatepair_chi128_cold 7200 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1 BENCH_CHI=128
-bench_stage bench_gatepair_chi128      1800 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1 BENCH_CHI=128
+# REVISED after batch i's data (round 4): the fused-gate kernel LOSES
+# standalone at chi64 (4.16 vs 2.59 s ctrl) and chi128 (7.94 vs 7.40), so
+# the gate+pair compositions are dropped. Kept: the pair+budget
+# composition at chi64 (batch k only covers chi128/256), and the full
+# triple at chi128 — the gate kernel's plausible failure mode is
+# grid-block replay of its longer body, which the 25e6 budgets attack, so
+# one composed stage settles whether gate+blocks flips the verdict
+# (batch j's bench_gate_blk25_chi128 is the other half of that answer).
+bench_stage bench_pairblk25_chi64_cold 7200 QMLTPU_MGS_PAIR=1 \
+    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
+bench_stage bench_pairblk25_chi64      1800 QMLTPU_MGS_PAIR=1 \
+    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
 # all three levers at chi128 (the latency-wall model's headline case)
 bench_stage bench_triple_chi128_cold 7200 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1 \
@@ -49,8 +56,7 @@ bench_stage bench_triple_chi128_cold 7200 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1 
 bench_stage bench_triple_chi128      1800 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6 BENCH_CHI=128
 
-# flagship nf=100 d6 brick config under gate+pair (control:
-# brick_caps0_chi128 = 2.26 s/circuit)
+# flagship nf=100 d6 brick config under pair (NO gate — it lost):
 brick_ab() { # <tag> <extra envs...>
     local tag="$1"; shift
     [ -s "runs/perf_ab/$tag.json" ] && { log "skip $tag"; return 0; }
@@ -73,6 +79,6 @@ rec = json.load(open(f"runs/perf_ab/{sys.argv[1]}.json"))
 print(sys.argv[1], {k: rec.get(k) for k in ("avg_circ_sim", "median_circ_sim", "ave max chi x", "avg_fidelity")})
 PYEOF
 }
-brick_ab brick_gatepair_chi128 QMLTPU_FUSED_GATE=1 QMLTPU_MGS_PAIR=1
+brick_ab brick_pair_chi128 QMLTPU_MGS_PAIR=1
 
 log "BACKLOG M COMPLETE"
