@@ -172,8 +172,16 @@ _site_mesh_cache: dict = {}
 
 
 def make_chunked_simulator(
-    schedule, cfg: SimConfig, chunk_len: int = 128, mesh=None
+    schedule, cfg: SimConfig, chunk_len: int | None = None, mesh=None
 ):
+    # QMLTPU_CHUNK_LEN: ops per host dispatch on the tracked path. Bigger
+    # chunks mean fewer tunnel round-trips (the 32q bench stream is 1092
+    # ops = 9+ dispatches at 128) but coarser staged-chi granularity (each
+    # chunk runs at the max stage chi it touches) and longer single
+    # dispatches (tunneled backends kill long-running programs — keep the
+    # default conservative; the knob exists for the on-chip A/B).
+    if chunk_len is None:
+        chunk_len = int(os.environ.get("QMLTPU_CHUNK_LEN", "128"))
     from qml_cutensornet_tpu.models.ansatz import BrickSchedule
 
     if isinstance(schedule, BrickSchedule):

@@ -59,6 +59,15 @@ bench_stage bench_pairblk25_chi256_cold 7200 BENCH_CHI=256 QMLTPU_MGS_PAIR=1 \
 bench_stage bench_pairblk25_chi256 1800 BENCH_CHI=256 QMLTPU_MGS_PAIR=1 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
+# --- 2b. chunk-length A/B at the headline config: the 32q stream is 1092
+# ops = 9+ host dispatches through the tunnel at the 128 default; 384/1152
+# cut that to 3/1. Numerics-neutral modulo staged-chi granularity
+# (tests/test_chunk_len.py; f64 exact to 8e-15).
+bench_stage bench_chunk384_cold  7200 QMLTPU_CHUNK_LEN=384
+bench_stage bench_chunk384       1800 QMLTPU_CHUNK_LEN=384
+bench_stage bench_chunk1152_cold 7200 QMLTPU_CHUNK_LEN=1152
+bench_stage bench_chunk1152      1800 QMLTPU_CHUNK_LEN=1152
+
 # --- 3. crossover deep-chi regime: tracked chi1024 at d12, sim_batch 1 --
 # The chi512 d12 row exists (avg chi 295 — the cap cut 0.45% fidelity, so
 # it WAS binding); the cap-1024 run is the one that can show avg chi >= 500
