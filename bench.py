@@ -162,6 +162,7 @@ def main() -> None:
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
+        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 1)),
     )
     sched = ansatz.schedule
     if hasattr(sched, "bricks"):

@@ -104,6 +104,18 @@ class SimConfig:
     # measured-2x candidate for the dot-dominated large-N regime. The
     # parity impact must be measured before changing the default.
     tile_precision: str = "inherit"
+    # Sites contracted per transfer-matrix scan step in the Gram-tile
+    # contraction (models/simulate.tile_overlaps_sq). The tile scan is
+    # latency/bandwidth bound (the [By,Bx,chi,chi] carry round-trips HBM
+    # every step, ~80 MB at the bench config); pre-combining k adjacent
+    # site tensors per STATE into [chi, 2^k, chi] blocks (cheap — per
+    # state, not per pair) cuts the scan to n/k steps with larger matmul
+    # operands. Scan FLOPs and combined-tensor storage both scale as
+    # 2^k/(2k) relative to k=1: k=2 is FLOP- and storage-neutral (the
+    # default candidate); k=4 doubles both for 4x fewer steps — only
+    # worth it if latency still dominates after k=2. Default 1 pending
+    # the on-chip A/B (runs/perf_ab, decision rule in docs/DESIGN.md).
+    tile_block: int = 1
     # Fused Pallas kernels (ops/pallas_split.py subspace-split chain and
     # ops/pallas_qr.py Q+R canonical-move launch). Carried in the config —
     # a STATIC jit argument — rather than read from the environment at
@@ -162,6 +174,8 @@ class SimConfig:
             raise ValueError("chi must be >= 1")
         if self.oversample < 0:
             raise ValueError("oversample must be >= 0")
+        if not 1 <= self.tile_block <= 8:
+            raise ValueError("tile_block must be in 1..8")
 
     @property
     def real_dtype(self):

@@ -374,7 +374,8 @@ def build_kernel_matrix(
                 ax_blk = ay_blk
             else:
                 ax_blk = cpx.tmap(lambda t: trim(t[x0:x1]), ax)
-            block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.resolved_tile_precision)
+            block = tile_overlaps_sq(ay_blk, ax_blk, precision=cfg.resolved_tile_precision,
+                                     site_block=cfg.tile_block)
             block = np.asarray(jax.block_until_ready(block))
             vdot_time.append(time.perf_counter() - t0)
             tile_pairs.append(

@@ -859,8 +859,46 @@ def state_norms_sq(a: Cpx, precision: str = "highest"):
         return jax.vmap(one)(a.re, a.im)
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
+def _combine_sites(a: Cpx, k: int):
+    """Pre-contract runs of ``k`` adjacent site tensors into physical-dim
+    ``2^k`` blocks: ``[B, n, chi, 2, chi] -> ([B, n//k, chi, 2^k, chi],
+    tail [B, chi, 2^rem, chi] | None)``.
+
+    Per-STATE work (O(B * n * chi^3 * 2^k), vs the per-PAIR O(By*Bx) scan
+    it accelerates) and storage ``2^k / (2k)`` relative to the input, so
+    k=2 is storage-neutral and k=4 doubles it. Bond contraction order is
+    left-to-right, matching the scan's site order.
+    """
+    b, n = a.re.shape[:2]
+    chi = a.re.shape[2]
+    g, rem = n // k, n % k
+
+    def combine(u: Cpx, t: Cpx) -> Cpx:
+        # u [..., chi, p, chi] . t [..., chi, 2, chi] over the shared bond.
+        out = cpx.einsum("...xpy,...ytz->...xptz", u, t)
+        return cpx.tmap(
+            lambda v: v.reshape(*v.shape[:-4], chi, v.shape[-3] * 2, chi), out
+        )
+
+    main = None
+    if g:
+        grp = cpx.tmap(
+            lambda t: t[:, : g * k].reshape(b, g, k, chi, 2, chi), a
+        )
+        main = cpx.tmap(lambda t: t[:, :, 0], grp)
+        for j in range(1, k):
+            main = combine(main, cpx.tmap(lambda t: t[:, :, j], grp))
+    tail = None
+    if rem:
+        tail = cpx.tmap(lambda t: t[:, g * k], a)
+        for j in range(1, rem):
+            tail = combine(tail, cpx.tmap(lambda t: t[:, g * k + j], a))
+    return main, tail
+
+
+@partial(jax.jit, static_argnames=("precision", "site_block"))
+def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest",
+                     site_block: int = 1):
     """All-pairs squared overlaps between two batches of MPS site tensors.
 
     ``ay [By, n, chi, 2, chi]``, ``ax [Bx, n, chi, 2, chi]`` (Cpx pairs)
@@ -871,6 +909,13 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
     ``M [By, Bx, chi, chi]``; each site contributes batched matmuls that map
     straight onto the MXU — this replaces the reference's
     one-``vdot``-call-per-pair hot loop (gpu:366-405).
+
+    ``site_block=k`` contracts ``k`` sites per scan step from
+    pre-combined ``[chi, 2^k, chi]`` blocks (:func:`_combine_sites`):
+    ``n/k`` carry round-trips with larger matmul operands — the lever for
+    the scan's latency/bandwidth bound (cfg.tile_block /
+    QMLTPU_TILE_BLOCK). Scan FLOPs scale as ``2^k/(2k)`` vs per-site:
+    k=2 is FLOP-neutral, k=4 doubles them for 4x fewer steps.
     """
     By = ay.re.shape[0]
     Bx, chi = ax.re.shape[0], ax.re.shape[2]
@@ -887,46 +932,55 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest"):
         m0re = jnp.zeros((By, Bx, chi, chi), dtype=ax.re.dtype).at[:, :, 0, 0].set(1.0)
         m0 = Cpx(m0re, jnp.zeros_like(m0re))
 
-        def step(m, ts):
-            ty_re, ty_im, tx_re, tx_im = ts
-            ty, tx = Cpx(ty_re, ty_im), Cpx(tx_re, tx_im)
-            # Two LARGE batched matmuls per site (MXU-shaped), not
-            # By*Bx tiny ones:
+        def step(m, ty: Cpx, tx: Cpx, p: int):
+            # Two LARGE batched matmuls per site block of physical dim p
+            # (MXU-shaped), not By*Bx tiny ones:
             #   T[x, (y a), (s d)] = sum_b M[x, (y a), b] Tx[x, b, (s d)]
             mx = cpx.tmap(
                 lambda t: jnp.moveaxis(t, 1, 0).reshape(Bx, By * chi, chi), m
             )
-            txm = cpx.tmap(lambda t: t.reshape(Bx, chi, 2 * chi), tx)
-            t1 = cpx.einsum("xmb,xbn->xmn", mx, txm)  # [Bx, By*chi, 2chi]
+            txm = cpx.tmap(lambda t: t.reshape(Bx, chi, p * chi), tx)
+            t1 = cpx.einsum("xmb,xbn->xmn", mx, txm)  # [Bx, By*chi, p*chi]
             #   M'[y, c, (x d)] = sum_(a s) conj(Ty)[y, (a s), c] T2[y, (a s), (x d)]
             # t1 indices: [x, (y a), (s d)] -> regroup to [y, (a s), (x d)].
             t2 = cpx.tmap(
-                lambda t: t.reshape(Bx, By, chi, 2, chi)
+                lambda t: t.reshape(Bx, By, chi, p, chi)
                 .transpose(1, 2, 3, 0, 4)
-                .reshape(By, chi * 2, Bx * chi),
+                .reshape(By, chi * p, Bx * chi),
                 t1,
             )
-            tym = cpx.tmap(lambda t: t.reshape(By, chi * 2, chi), ty)
+            tym = cpx.tmap(lambda t: t.reshape(By, chi * p, chi), ty)
             m2 = cpx.einsum("ykc,ykn->ycn", cpx.conj(tym), t2)  # [By, chi, Bx*chi]
-            m2 = cpx.tmap(
+            return cpx.tmap(
                 lambda t: jnp.moveaxis(t.reshape(By, chi, Bx, chi), 2, 1), m2
             )
-            return m2, None
 
-        # Scan over a site INDEX and slice each site's tensors on the fly:
-        # feeding site-major transposes of the whole batches as scan xs
-        # materializes four full relaid-out copies as HLO temps (4 x 1.9 GB
-        # at chi=512, B=10, n=100 — OOMs a 16 GB chip on top of the live
-        # arguments). Per-step dynamic slices are [B, chi, 2, chi] (~40 MB).
-        n_sites = ay.re.shape[1]
+        # Scan over a site-block INDEX and slice each block's tensors on
+        # the fly: feeding site-major transposes of the whole batches as
+        # scan xs materializes four full relaid-out copies as HLO temps
+        # (4 x 1.9 GB at chi=512, B=10, n=100 — OOMs a 16 GB chip on top
+        # of the live arguments). Per-step dynamic slices are
+        # [B, chi, 2^k, chi] (~40 MB at k=1).
+        k = site_block
+        gy, ty_tail = _combine_sites(ay, k) if k > 1 else (ay, None)
+        gx, tx_tail = _combine_sites(ax, k) if k > 1 else (ax, None)
 
-        def step_i(m, i):
-            ts = tuple(
-                lax.dynamic_index_in_dim(t, i, axis=1, keepdims=False)
-                for t in (ay.re, ay.im, ax.re, ax.im)
-            )
-            return step(m, ts)
+        m = m0
+        if gy is not None:
+            p = gy.re.shape[3]
 
-        m, _ = lax.scan(step_i, m0, jnp.arange(n_sites))
+            def step_i(m, i):
+                ty, tx = (
+                    Cpx(
+                        lax.dynamic_index_in_dim(t.re, i, axis=1, keepdims=False),
+                        lax.dynamic_index_in_dim(t.im, i, axis=1, keepdims=False),
+                    )
+                    for t in (gy, gx)
+                )
+                return step(m, ty, tx, p), None
+
+            m, _ = lax.scan(step_i, m, jnp.arange(gy.re.shape[1]))
+        if ty_tail is not None:
+            m = step(m, ty_tail, tx_tail, ty_tail.re.shape[2])
         ov = cpx.tmap(lambda t: t[:, :, 0, 0], m)
         return cpx.abs2(ov)

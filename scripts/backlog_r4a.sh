@@ -25,6 +25,27 @@ if [ -f /tmp/backlog_m.pid ]; then
 fi
 log "batch m done; starting batch r4a"
 
+# --- 0. site-blocked tile scan A/B (QMLTPU_TILE_BLOCK, added mid-round) --
+# The tile phase is latency/bandwidth bound (~0.64 s of the 2.59 s chi64
+# wall); k=2 halves the scan's carry round-trips at identical FLOPs.
+bench_stage() { # name timeout env...
+    local name=$1 tmo=$2; shift 2
+    [ -s "runs/perf_ab/$name.json" ] && { log "skip $name (banked)"; return 0; }
+    log "bench $name ($*)"
+    if timeout "$tmo" env "$@" python bench.py \
+        > "$SD/$name.out" 2> "$SD/$name.err"; then
+        cp "$SD/$name.out" "runs/perf_ab/$name.json"
+        grep -E "warm run|max_abs_err|avg_fidelity" "$SD/$name.err" \
+            > "runs/perf_ab/$name.err.txt" || true
+        cat "$SD/$name.out" >> "$LOG"
+    else
+        log "FAILED $name rc=$?"; tail -4 "$SD/$name.err" >> "$LOG"
+    fi
+}
+bench_stage bench_tileblk2        3600 QMLTPU_TILE_BLOCK=2
+bench_stage bench_tileblk4        3600 QMLTPU_TILE_BLOCK=4
+bench_stage bench_tileblk2_chi128 3600 QMLTPU_TILE_BLOCK=2 BENCH_CHI=128
+
 # --- 1. runtime_scaling at reference configs --------------------------
 if [ ! -f runs/runtime_scaling/raw/train_Nf165_r2_g0.1_p0.0_nn1_mslinear_Ntr800_s5_elliptic_preproc_8k_m1.json ]; then
     log "runtime_scaling: building 8k synthetic + warm sweep ntr 200/400/800"
