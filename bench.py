@@ -162,7 +162,11 @@ def main() -> None:
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
-        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 1)),
+        # Default 2 since the on-chip A/B (runs/perf_ab/bench_tileblk2 vs
+        # bench_ctrl_r3end): 2.470 s vs 2.565 s, tiles 0.64 -> 0.54 s, at
+        # parity 5.8e-8 / fidelity 0.99996 — k=2 is FLOP- and
+        # storage-neutral, so it can only trade scan latency.
+        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 2)),
     )
     sched = ansatz.schedule
     if hasattr(sched, "bricks"):

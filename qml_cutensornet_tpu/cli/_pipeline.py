@@ -52,9 +52,10 @@ positional contract come from environment variables:
                        only (default "inherit"; "high" = 3-pass bf16 —
                        measure parity before relying on it)
     QMLTPU_TILE_BLOCK  sites contracted per tile-scan step from pre-combined
-                       [chi, 2^k, chi] blocks (k=2 storage-neutral, halves
-                       the scan's carry round-trips; default 1 pending the
-                       on-chip A/B — see SimConfig.tile_block)
+                       [chi, 2^k, chi] blocks (k=2 is FLOP/storage-neutral
+                       and halves the scan's carry round-trips; default 2
+                       since the on-chip A/B — 2.47 s vs 2.57 s at chi64,
+                       runs/perf_ab/bench_tileblk2; see SimConfig.tile_block)
     QMLTPU_ROUTING     tracked | reference | brick  (default tracked)
     QMLTPU_SIM_BATCH   circuits per compiled batch (default 32)
     QMLTPU_TILE        Gram tile side (default 32)
@@ -174,7 +175,7 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
-        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 1)),
+        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 2)),
     )
     if chi_env == "auto":
         if sample_features is None:

@@ -111,10 +111,13 @@ class SimConfig:
     # site tensors per STATE into [chi, 2^k, chi] blocks (cheap — per
     # state, not per pair) cuts the scan to n/k steps with larger matmul
     # operands. Scan FLOPs and combined-tensor storage both scale as
-    # 2^k/(2k) relative to k=1: k=2 is FLOP- and storage-neutral (the
-    # default candidate); k=4 doubles both for 4x fewer steps — only
-    # worth it if latency still dominates after k=2. Default 1 pending
-    # the on-chip A/B (runs/perf_ab, decision rule in docs/DESIGN.md).
+    # 2^k/(2k) relative to k=1: k=2 is FLOP- and storage-neutral; k=4
+    # doubles both for 4x fewer steps — only worth it if latency still
+    # dominates after k=2. On-chip A/B (runs/perf_ab/bench_tileblk2):
+    # k=2 took the chi64 bench 2.565 -> 2.470 s (tiles 0.64 -> 0.54) at
+    # parity 5.8e-8, so the pipeline/bench env default is 2
+    # (QMLTPU_TILE_BLOCK); the dataclass default stays 1 like the other
+    # measured knobs (fused_split) so direct library callers opt in.
     tile_block: int = 1
     # Fused Pallas kernels (ops/pallas_split.py subspace-split chain and
     # ops/pallas_qr.py Q+R canonical-move launch). Carried in the config —
