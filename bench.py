@@ -44,10 +44,15 @@ def main() -> None:
     # Whole-batch execution measured fastest with the Pallas orthonormalizer
     # (batch blocks are sized internally to VMEM): 3.16 s vs 3.40 s at 50.
     sim_batch = int(os.environ.get("QMLTPU_SIM_BATCH", 100))
-    # Tile scan carry is [tile, chi, 2, tile, chi] (+ temps of the same
-    # order): tile=100 at chi=256 is a 5 GB carry and OOMs 16 GB HBM.
-    # Shrink tiles so the carry stays <= ~1.3 GB.
-    default_tile = 100 if chi <= 128 else (50 if chi <= 256 else 20)
+    # Tile auto-size: the tile scan's live peak is dominated by the step
+    # temps t1/t2 [tile, tile*chi, 2^k*chi] (re,im f32 pairs) — which scale
+    # with BOTH chi^2 and the site-block factor 2^k — plus the pre-combined
+    # site blocks (~= a second copy of each tile input batch when k > 1,
+    # since the originals stay live in the jit). Budget the temps at
+    # <= ~2.75 GB (the measured-good chi128/k=1 and chi64/k=2 points both
+    # sit just under; tile=100 at chi=256/k=1 was a measured OOM).
+    tb = int(os.environ.get("QMLTPU_TILE_BLOCK", 2))
+    default_tile = min(100, int((2.75e9 / (chi * chi * 2 ** tb * 8)) ** 0.5))
     tile = int(os.environ.get("QMLTPU_TILE", default_tile))
 
     from qml_cutensornet_tpu.config import SimConfig
@@ -164,8 +169,8 @@ def main() -> None:
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
         # Default 2 since the on-chip A/B (runs/perf_ab/bench_tileblk2 vs
         # bench_ctrl_r3end): 2.470 s vs 2.565 s, tiles 0.64 -> 0.54 s, at
-        # parity 5.8e-8 / fidelity 0.99996 — k=2 is FLOP- and
-        # storage-neutral, so it can only trade scan latency.
+        # parity 5.8e-8 / fidelity 0.99996 — k=2 is scan-traffic- and
+        # FLOP-neutral (peak memory is NOT: see the tile auto-size above).
         tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 2)),
     )
     sched = ansatz.schedule

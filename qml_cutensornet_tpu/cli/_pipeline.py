@@ -209,7 +209,16 @@ def sim_config(params: RunParams, sample_features=None) -> SimConfig:
     # 128. QMLTPU_OVERSAMPLE always wins when set.
     over_env = os.environ.get("QMLTPU_OVERSAMPLE")
     oversample = int(over_env) if over_env is not None else (16 if chi >= 128 else 0)
-    return dataclasses.replace(base, chi=chi, oversample=oversample)
+    # Tile site-blocking default gates on chi: k=2's pre-combined blocks
+    # double the live tile-input HBM and its step temps scale with 2^k
+    # (models/simulate.tile_overlaps_sq NOTE), and only chi <= 128 arms
+    # have been measured on chip; above that the default stays per-site
+    # until an A/B banks a win. QMLTPU_TILE_BLOCK always wins when set.
+    tb_env = os.environ.get("QMLTPU_TILE_BLOCK")
+    tile_block = int(tb_env) if tb_env is not None else (2 if chi <= 128 else 1)
+    return dataclasses.replace(
+        base, chi=chi, oversample=oversample, tile_block=tile_block
+    )
 
 
 def engine_kwargs() -> dict:

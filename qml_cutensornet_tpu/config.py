@@ -110,10 +110,17 @@ class SimConfig:
     # every step, ~80 MB at the bench config); pre-combining k adjacent
     # site tensors per STATE into [chi, 2^k, chi] blocks (cheap — per
     # state, not per pair) cuts the scan to n/k steps with larger matmul
-    # operands. Scan FLOPs and combined-tensor storage both scale as
-    # 2^k/(2k) relative to k=1: k=2 is FLOP- and storage-neutral; k=4
-    # doubles both for 4x fewer steps — only worth it if latency still
-    # dominates after k=2. On-chip A/B (runs/perf_ab/bench_tileblk2):
+    # operands. Scan FLOPs and combined-tensor SIZE both scale as
+    # 2^k/(2k) relative to k=1 — k=2 is scan-traffic- and FLOP-neutral —
+    # but PEAK live memory is not neutral: the combined blocks coexist
+    # with the un-donated inputs (~+100% tile-input HBM at k=2) and the
+    # per-step matmul temps grow with 2^k, so tile sizing must account
+    # for k (bench.py does). k=4 doubles scan FLOPs for 4x fewer steps —
+    # only worth it if latency still dominates after k=2. Applies to the
+    # single-chip tile engine (models/gram.py) only; the multi-chip ring
+    # (parallel/gram.py) scans per-site regardless — its per-step grain
+    # is the ring iteration, so the lever has less to cut there.
+    # On-chip A/B (runs/perf_ab/bench_tileblk2):
     # k=2 took the chi64 bench 2.565 -> 2.470 s (tiles 0.64 -> 0.54) at
     # parity 5.8e-8, so the pipeline/bench env default is 2
     # (QMLTPU_TILE_BLOCK); the dataclass default stays 1 like the other

@@ -960,7 +960,12 @@ def tile_overlaps_sq(ay: Cpx, ax: Cpx, precision: str = "highest",
         # scan xs materializes four full relaid-out copies as HLO temps
         # (4 x 1.9 GB at chi=512, B=10, n=100 — OOMs a 16 GB chip on top
         # of the live arguments). Per-step dynamic slices are
-        # [B, chi, 2^k, chi] (~40 MB at k=1).
+        # [B, chi, 2^k, chi]. NOTE the k>1 peak-memory costs: the combined
+        # blocks from _combine_sites are full-size copies that coexist
+        # with the (un-donated) ay/ax inputs (~+100% tile-input HBM at
+        # k=2), and the step temps t1/t2 [B, B*chi, 2^k*chi] scale with
+        # 2^k — callers' tile auto-sizing must budget for both
+        # (bench.py), not just the carry.
         k = site_block
         gy, ty_tail = _combine_sites(ay, k) if k > 1 else (ay, None)
         gx, tx_tail = _combine_sites(ax, k) if k > 1 else (ax, None)
