@@ -51,9 +51,20 @@ def main() -> None:
     # since the originals stay live in the jit). Budget the temps at
     # <= ~2.75 GB (the measured-good chi128/k=1 and chi64/k=2 points both
     # sit just under; tile=100 at chi=256/k=1 was a measured OOM).
-    tb = int(os.environ.get("QMLTPU_TILE_BLOCK", 2))
-    default_tile = min(100, int((2.75e9 / (chi * chi * 2 ** tb * 8)) ** 0.5))
-    tile = int(os.environ.get("QMLTPU_TILE", default_tile))
+    # Site-block default policy (MEASURED, runs/perf_ab): k=2 wins only
+    # while its (smaller) safe tile still covers the batch in ONE dispatch
+    # — at chi=128, k=2/tile=72 took tiles 2.05 -> 3.05 s vs k=1/tile=100
+    # because ceil(100/72)=2 splits the batch into 4 padded tile dispatches
+    # (2.07x the pair work). So: k=2 iff tile_for(k=2) >= n_points.
+    def _tile_for(k: int) -> int:
+        return min(100, int((2.75e9 / (chi * chi * 2 ** k * 8)) ** 0.5))
+
+    tb_env = os.environ.get("QMLTPU_TILE_BLOCK")
+    if tb_env is not None:
+        tb = int(tb_env)
+    else:
+        tb = 2 if _tile_for(2) >= n_points else 1
+    tile = int(os.environ.get("QMLTPU_TILE", _tile_for(tb)))
 
     from qml_cutensornet_tpu.config import SimConfig
     from qml_cutensornet_tpu.models.ansatz import KernelStateAnsatz
@@ -167,11 +178,11 @@ def main() -> None:
         fused_gate=os.environ.get("QMLTPU_FUSED_GATE", "0") != "0",
         mgs_pair=os.environ.get("QMLTPU_MGS_PAIR", "0") != "0",
         brick_struct_caps=os.environ.get("QMLTPU_BRICK_CAPS", "0") != "0",
-        # Default 2 since the on-chip A/B (runs/perf_ab/bench_tileblk2 vs
+        # k=2 A/B win at the headline shape (runs/perf_ab/bench_tileblk2 vs
         # bench_ctrl_r3end): 2.470 s vs 2.565 s, tiles 0.64 -> 0.54 s, at
-        # parity 5.8e-8 / fidelity 0.99996 — k=2 is scan-traffic- and
-        # FLOP-neutral (peak memory is NOT: see the tile auto-size above).
-        tile_block=int(os.environ.get("QMLTPU_TILE_BLOCK", 2)),
+        # parity 5.8e-8 / fidelity 0.99996; auto-falls back to 1 when the
+        # k=2-safe tile cannot cover the batch in one dispatch (see above).
+        tile_block=tb,
     )
     sched = ansatz.schedule
     if hasattr(sched, "bricks"):

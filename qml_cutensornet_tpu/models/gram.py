@@ -145,7 +145,9 @@ def _tile_ranges(n: int, tile: int):
     return [(s, min(n, s + tile)) for s in range(0, n, tile)]
 
 
-def _auto_tile(tile: int, chi: int, n: int, len_y: int, len_x: int) -> int:
+def _auto_tile(
+    tile: int, chi: int, n: int, len_y: int, len_x: int, site_block: int = 1
+) -> int:
     """Clamp the requested tile so one tile dispatch fits HBM at large chi.
 
     The tile scan's live set is two state blocks ``[tile, n, chi, 2, chi]``
@@ -162,12 +164,20 @@ def _auto_tile(tile: int, chi: int, n: int, len_y: int, len_x: int) -> int:
     tiny datasets to one canonical tile shape are untouched there."""
     budget = float(os.environ.get("QMLTPU_TILE_BYTES", "8e9"))
     del len_y, len_x  # tile shapes are padded, not dataset-bound
+    k = max(1, site_block)
     t = tile
     while t > 8:
         pad = max(1, 128 // t)
         carry = 4 * t * t * chi * chi * (2 * pad + 2)
         blocks = 2 * (8 * t * n * 2 * chi * chi)
-        if carry + blocks <= budget:
+        # site_block=k costs beyond per-site (simulate._combine_sites NOTE):
+        # the pre-combined blocks (2^k/(2k) of the inputs' size) coexist
+        # with the un-donated originals, and the scan-step matmul temps
+        # t1/t2 are [t, t*chi, 2^k*chi] re+im pairs — the dominant term at
+        # k >= 2 and large chi.
+        combined = (blocks * (2 ** k)) // (2 * k) if k > 1 else 0
+        temps = 8 * t * t * chi * chi * (2 ** k) if k > 1 else 0
+        if carry + blocks + combined + temps <= budget:
             break
         t -= 8
     return t
@@ -285,7 +295,8 @@ def build_kernel_matrix(
     # columns are sliced away before normalization.
     tiling_start = time.perf_counter()
     tile = _auto_tile(
-        tile, max(ax.re.shape[2], ay.re.shape[2]), ax.re.shape[1], len_y, len_x
+        tile, max(ax.re.shape[2], ay.re.shape[2]), ax.re.shape[1], len_y, len_x,
+        site_block=cfg.tile_block,
     )
     len_y_pad = -(-len_y // tile) * tile
     len_x_pad = -(-len_x // tile) * tile
