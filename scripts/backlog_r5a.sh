@@ -72,15 +72,20 @@ bench_stage bench_pairblk25_chi128 5400 QMLTPU_MGS_PAIR=1 BENCH_CHI=128 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
 # --- 3. crossover chi1024 d12 (long; sim_batch 1 — chi1024 at batch 2
-#     OOMs the scan-carry double buffer) ------------------------------
+#     OOMs the scan-carry double buffer). Runs on the V1 bench dataset
+#     (elliptic_preproc_bench.csv = the archive the suite's other rows
+#     were measured on; the v2 cluster data entangles far less and cannot
+#     exercise the avg-chi~600 regime). Output renamed to the suite's
+#     canonical row name; runs/crossover/README.md records the provenance.
 name=train_Nf100_r2_g1.0_p0.0_nn12_mslinear_Ntr5_s5_elliptic_preproc
+bname=train_Nf100_r2_g1.0_p0.0_nn12_mslinear_Ntr5_s5_elliptic_preproc_bench
 if [ ! -s "runs/crossover/raw/gpu/${name}_tracked_chi1024.json" ]; then
-    log "crossover tracked_chi1024_d12"
+    log "crossover tracked_chi1024_d12 (v1 bench dataset)"
     if timeout 14400 env QMLTPU_CHI=1024 QMLTPU_SIM_BATCH=1 \
         python -m qml_cutensornet_tpu.cli.main_no_test \
-        TPU 100 2 1.0 12 5 5 5 elliptic_preproc.csv \
+        TPU 100 2 1.0 12 5 5 5 elliptic_preproc_bench.csv \
         > "$SD/crossover_chi1024.out" 2>&1; then
-        mv "${name}.json" "runs/crossover/raw/gpu/${name}_tracked_chi1024.json" 2>/dev/null \
+        mv "${bname}.json" "runs/crossover/raw/gpu/${name}_tracked_chi1024.json" 2>/dev/null \
             || log "crossover chi1024: profiling JSON missing"
         rm -f kernels/train_Nf100_*.npy train_Nf100_*.npy 2>/dev/null
         (cd runs/crossover && python to_csv.py) >> "$LOG" 2>&1

@@ -42,12 +42,24 @@ def main():
         preprocess_elliptic,
     )
 
-    # Identical dataset construction to bench.py.
-    if not pathlib.Path("datasets/elliptic_preproc.csv").is_file():
-        make_synthetic_elliptic()  # no-op when the committed raw CSVs exist
-        preprocess_elliptic()
+    # Identical dataset construction to bench.py (PINNED to the v1 bench
+    # dataset — see bench.py's rationale; BENCH_DATASET overrides).
+    bench_csv = os.environ.get(
+        "BENCH_DATASET", "datasets/elliptic_preproc_bench.csv"
+    )
+    if not pathlib.Path(bench_csv).is_file():
+        if pathlib.Path("datasets/elliptic_bitcoin_dataset_v1").is_dir():
+            preprocess_elliptic(
+                dataset_dir="datasets/elliptic_bitcoin_dataset_v1",
+                out_csv=bench_csv,
+            )
+        else:
+            if not pathlib.Path("datasets/elliptic_preproc.csv").is_file():
+                make_synthetic_elliptic()
+                preprocess_elliptic()
+            bench_csv = "datasets/elliptic_preproc.csv"
     half = -(-5 * n_points // 8) + 1
-    X, _, _, _ = load_and_prepare("datasets/elliptic_preproc.csv", nq, half, half, 5)
+    X, _, _, _ = load_and_prepare(bench_csv, nq, half, half, 5)
     X = X[:n_points]
 
     ansatz = KernelStateAnsatz(nq, reps, gamma, entanglement_graph(nq, d),

@@ -91,8 +91,14 @@ def run_variant(variant: str) -> dict:
     chi = int(os.environ.get("BENCH_CHI", 64))
     gamma = float(os.environ.get("BENCH_GAMMA", 1.0))
 
+    # Same v1-pinned bench dataset as bench.py (perf workload comparability).
+    bench_csv = os.environ.get(
+        "BENCH_DATASET", "datasets/elliptic_preproc_bench.csv"
+    )
+    if not os.path.isfile(bench_csv):
+        bench_csv = "datasets/elliptic_preproc.csv"
     half = -(-5 * n_points // 8) + 1
-    X, _, _, _ = load_and_prepare("datasets/elliptic_preproc.csv", nq, half, half, 5)
+    X, _, _, _ = load_and_prepare(bench_csv, nq, half, half, 5)
     X = X[:n_points]
     ansatz = KernelStateAnsatz(nq, 2, gamma, entanglement_graph(nq, d))
     cfg = SimConfig(
