@@ -285,7 +285,14 @@ def block_from_budget(per_elem_bytes: int, env: str) -> int:
     nor sublanes, so any block size is layout-legal."""
     import os
 
-    budget = int(float(os.environ.get(env, str(5 * 1024 * 1024))))
+    # Default raised 5 MB -> 25 MB after the round-5 on-chip A/B at the
+    # headline shape (runs/perf_ab/bench_blk25_chi64 vs bench: 2.21 s vs
+    # 2.50, sim 1.87 -> 1.60 s, parity/fidelity byte-identical): at chi64
+    # the 5 MB budget split B=100 into 4 grid blocks, replaying every
+    # serial column chain 4x (profile_scan.jsonl — moves+splits are 65% of
+    # sim). 25 MB of block buffers stays under the ~35 MB Mosaic scoped
+    # edge documented above.
+    budget = int(float(os.environ.get(env, str(25_000_000))))
     return max(2, min(128, (budget // per_elem_bytes // 2) * 2))
 
 

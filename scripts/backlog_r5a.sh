@@ -64,11 +64,12 @@ else
 fi
 
 # --- 2. chi128 lever arms ---------------------------------------------
+# (round-5 mid-course trim: pair arms dropped after the decisive chi64
+# standalone loss — 3.63 s vs 2.59 — and the blk25 chi64 WIN shipping as
+# the default budget; blk25_chi128 stays to validate the new default in
+# the chi128 regime.)
 bench_stage bench_tileblk2_chi128  5400 BENCH_CHI=128
-bench_stage bench_pair_chi128      5400 QMLTPU_MGS_PAIR=1 BENCH_CHI=128
 bench_stage bench_blk25_chi128     5400 BENCH_CHI=128 \
-    QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
-bench_stage bench_pairblk25_chi128 5400 QMLTPU_MGS_PAIR=1 BENCH_CHI=128 \
     QMLTPU_FUSED_BLOCK_BYTES=25e6 QMLTPU_QR_BLOCK_BYTES=25e6
 
 # --- 3. crossover chi1024 d12 (long; sim_batch 1 — chi1024 at batch 2
