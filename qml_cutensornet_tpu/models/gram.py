@@ -162,11 +162,17 @@ def _auto_tile(
     QMLTPU_STATES_DEVICE_BYTES) and shrink the tile, never below 8. Small
     chi never triggers the clamp, so the warm-program economics of padding
     tiny datasets to one canonical tile shape are untouched there."""
-    budget = float(os.environ.get("QMLTPU_TILE_BYTES", "8e9"))
+    # 9.2e9 keeps the measured-good chi512/tile=8 crossover config (its
+    # modeled live set is 8.98 GB) while chi1024 descends to tile=2.
+    budget = float(os.environ.get("QMLTPU_TILE_BYTES", "9.2e9"))
     del len_y, len_x  # tile shapes are padded, not dataset-bound
     k = max(1, site_block)
     t = tile
-    while t > 8:
+    # Floor 2 (was 8): at chi=1024, nq=100 the two [tile, n, chi, 2, chi]
+    # tile input blocks alone are 13.4 GB PER SIDE at tile=8 — the old
+    # floor made the chi1024 crossover tile program ask 33 GB of HBM and
+    # die at compile (round-5 run). tile=2 fits (~10 GB live).
+    while t > 2:
         pad = max(1, 128 // t)
         carry = 4 * t * t * chi * chi * (2 * pad + 2)
         blocks = 2 * (8 * t * n * 2 * chi * chi)
@@ -179,7 +185,7 @@ def _auto_tile(
         temps = 8 * t * t * chi * chi * (2 ** k) if k > 1 else 0
         if carry + blocks + combined + temps <= budget:
             break
-        t -= 8
+        t = t - 8 if t > 8 else t // 2
     return t
 
 
