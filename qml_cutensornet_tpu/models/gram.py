@@ -99,14 +99,31 @@ def simulate_dataset(schedule, features: np.ndarray, cfg: SimConfig, sim_batch: 
         buckets.append(c)
         if c < t.re.shape[2]:
             t = cpx.tmap(lambda a: a[:, :, :c, :, :c], t)
+        # Residency decision, RE-EVALUATED as buckets grow: the projected
+        # assembled footprint (re+im, plus the one-off concat copy) uses
+        # the LARGEST bucket seen so far — deciding once from the first
+        # batch's bucket locked chi-1024 crossover states onto the device
+        # (first circuit bucketed 512 -> "fits"), then later 1024-bucket
+        # batches padded the device concat to 13.4 GB and the tile slice
+        # copies exhausted HBM (round-5 failure). When the projection
+        # flips, already-kept device batches demote to host. The host
+        # round-trip stays reserved for the truly large regime: through a
+        # tunneled backend it costs ~GB of transfers (measured 3.1 s ->
+        # 58 s on the 32q chi64 bench when applied unconditionally).
+        c_max = max(buckets)
+        itemb = t.re.dtype.itemsize
+        n_sites = t.re.shape[1]
+        per_batch_max = sim_batch * n_sites * c_max * 2 * c_max * itemb
+        projected = 2 * 2 * per_batch_max * n_batches
         if keep_device is None:
-            # Small-footprint regime: the full assembled batch (plus its
-            # one-off concat copy) fits the device budget — keep everything
-            # in HBM. The host round-trip is only for the truly large-chi
-            # regime: through a tunneled backend it costs ~GB of transfers
-            # (measured 3.1 s -> 58 s on the 32q chi64 bench when applied
-            # unconditionally).
-            keep_device = 2 * 2 * t.re.nbytes * n_batches <= device_limit
+            keep_device = projected <= device_limit
+        elif keep_device and projected > device_limit:
+            keep_device = False
+            tensors = [
+                p if isinstance(p.re, np.ndarray)
+                else Cpx(np.asarray(p.re), np.asarray(p.im))
+                for p in tensors
+            ]
         if keep_device:
             tensors.append(t)  # device-resident, sliced to its own bucket
         else:
